@@ -1,0 +1,117 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidsum_tpu.config import ModelConfig, PretrainConfig
+from vidsum_tpu.models.pretrain import init_pretrain_model, pretrain_apply
+from vidsum_tpu.ops.losses import (
+    entropy_centering, mse_with_mask_loss, repelling_loss, soft_cross_entropy,
+)
+
+
+def test_masked_mse_hand_case():
+    out = jnp.array([[[1.0], [2.0], [5.0]]])     # (1, 3, 1)
+    tgt = jnp.array([[0.0, 1.0, 7.0]])           # (1, 3)
+    mask = jnp.array([[False, False, True]])
+    # padded position zeroed in both → contributes 0; mean over ALL 3
+    want = ((1 - 0) ** 2 + (2 - 1) ** 2 + 0) / 3
+    assert abs(float(mse_with_mask_loss(out, tgt, mask)) - want) < 1e-6
+
+
+def test_masked_mse_sum_reduction():
+    out = jnp.array([[[1.0], [2.0]]])
+    tgt = jnp.array([[0.0, 0.0]])
+    mask = jnp.zeros((1, 2), bool)
+    assert abs(float(mse_with_mask_loss(out, tgt, mask, "sum")) - 5.0) < 1e-6
+
+
+def test_masked_mse_pad_target_ignored():
+    """Padded targets (sentinel 1000) must not leak into the loss."""
+    out = jnp.array([[[1.0], [99.0]]])
+    tgt = jnp.array([[1.0, 1000.0]])
+    mask = jnp.array([[False, True]])
+    assert abs(float(mse_with_mask_loss(out, tgt, mask))) < 1e-6
+
+
+def test_soft_cross_entropy_vs_numpy():
+    rng = np.random.default_rng(30)
+    x1 = rng.normal(size=(4, 6)).astype(np.float32)
+    x2 = rng.normal(size=(4, 6)).astype(np.float32)
+
+    def softmax(a):
+        e = np.exp(a - a.max(1, keepdims=True))
+        return e / e.sum(1, keepdims=True)
+
+    want = (-softmax(x2) * np.log(softmax(x1))).mean()
+    got = float(soft_cross_entropy(jnp.asarray(x1), jnp.asarray(x2)))
+    assert abs(got - want) < 1e-5
+
+
+def test_entropy_centering_uniform_vs_peaked():
+    # entropy term x·log(x) is minimized (most negative) for uniform scores
+    uniform = jnp.full((1, 4, 1), 0.25) + 1e-9
+    peaked = jnp.array([0.97, 0.01, 0.01, 0.01]).reshape(1, 4, 1) + 1e-9
+    assert float(entropy_centering(uniform, None)) < \
+        float(entropy_centering(peaked, None))
+
+
+def test_repelling_loss_identical_vs_orthogonal():
+    identical = jnp.ones((1, 3, 4))
+    eye = jnp.eye(3, 4)[None]
+    assert float(repelling_loss(identical, None)) > \
+        float(repelling_loss(eye, None)) + 0.5
+
+
+def test_repelling_loss_vs_numpy_oracle():
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(2, 5, 8)).astype(np.float32)
+    mask = np.zeros((2, 5), bool)
+    mask[1, 3:] = True
+    xm = x * (~mask)[..., None]
+    xn = xm / (np.linalg.norm(xm, axis=2, keepdims=True) + 1e-9)
+    sim = np.einsum("bnd,bmd->bnm", xn, xn)
+    sim = sim * (np.eye(5) == 0)[None]
+    want = sim.mean(axis=1).mean()
+    got = float(repelling_loss(jnp.asarray(x), jnp.asarray(mask)))
+    assert abs(got - want) < 1e-5
+
+
+def test_pretrain_losses_finite_and_grads_flow():
+    mcfg = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.0,
+                       max_len=64)
+    pcfg = PretrainConfig()
+    params = init_pretrain_model(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(32)
+    x = jnp.asarray(rng.normal(size=(2, 10, 1024)), jnp.float32)
+    vid = jnp.asarray(rng.normal(size=(2, 512)), jnp.float32)
+    mask = jnp.zeros((2, 10), bool).at[1, 7:].set(True)
+
+    def total(p):
+        m, c, r = pretrain_apply(p, mcfg, pcfg, x, vid, mask)
+        return m + 0.5 * c + 1.0 * r
+
+    loss, grads = jax.value_and_grad(total)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_pretrain_mask_blocks_padded_frames():
+    """Fully padded frames must not change the three losses."""
+    mcfg = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.0,
+                       max_len=64)
+    pcfg = PretrainConfig()
+    params = init_pretrain_model(jax.random.PRNGKey(1), mcfg)
+    rng = np.random.default_rng(33)
+    x = jnp.asarray(rng.normal(size=(1, 8, 1024)), jnp.float32)
+    vid = jnp.asarray(rng.normal(size=(1, 512)), jnp.float32)
+    m0 = jnp.zeros((1, 8), bool)
+    a = pretrain_apply(params, mcfg, pcfg, x, vid, m0)
+
+    x_pad = jnp.concatenate([x, jnp.full((1, 4, 1024), 1000.0)], axis=1)
+    m_pad = jnp.concatenate([m0, jnp.ones((1, 4), bool)], axis=1)
+    b = pretrain_apply(params, mcfg, pcfg, x_pad, vid, m_pad)
+    # main loss is mask-invariant; center/repel means run over N, so they are
+    # scaled by the frame count like in the reference — compare main only.
+    assert abs(float(a[0]) - float(b[0])) < 1e-5

@@ -1,0 +1,158 @@
+"""Single source of truth for every constant the reference hardcodes.
+
+The reference scatters magic numbers across modules (padding sentinel 1000 at
+``src/train.py:118``; 15% summary budget at ``src/evaluation/generate_summary.py:46``;
+sharpening 0.4 at ``src/model/simnet_pretrain.py:18``; seed 1234 at
+``src/train.py:29``; pretrain loss weights at ``src/pretrain.py:63``; scheduler
+numerator 13000 at ``src/pretrain.py:37``). Here they are named config fields
+with the reference values as defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """SimNet architecture (reference: ``src/model/simnet.py:10-30``).
+
+    Defaults follow the launch recipe ``run_finetune.sh`` /
+    ``run_pretrain.sh`` (d_model 256, 4 heads, 4 layers), not the argparse
+    defaults.
+    """
+
+    in_features: int = 1024          # GoogLeNet pool5 dim (simnet.py:22)
+    d_model: int = 256
+    num_heads: int = 4
+    num_layers: int = 4
+    mlp_scale: int = 4               # MLP hidden = scale*d_model (simnet.py:173)
+    dropout: float = 0.3             # block/attn/mlp dropout (simnet.py:87)
+    pos_dropout: float = 0.0         # PE dropout; reference wires it to
+                                     # `sparsity`, 0.0 in both drivers
+                                     # (simnet.py:201-203)
+    num_classes: int = 1
+    use_pos: bool = True
+    use_cls: bool = False
+    max_len: int = 2000              # quirk: SimNet takes max_len=2500 but never
+                                     # forwards it; Embedding default 2000 wins
+                                     # (simnet.py:24-26,188)
+    # Reference scales attention by d_model**-0.5, NOT head_dim**-0.5
+    # (simnet.py:126). Keep for checkpoint/training-dynamics parity.
+    scale_by_d_model: bool = True
+    # Computation dtype ('bfloat16' on TPU replaces the reference's fp16 AMP,
+    # train.py:38,120; params stay float32).
+    compute_dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        assert self.d_model % self.num_heads == 0
+        return self.d_model // self.num_heads
+
+    @property
+    def attn_scale(self) -> float:
+        return (self.d_model if self.scale_by_d_model else self.head_dim) ** -0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data layout (reference: ``src/data/dataset.py``, ``src/data/path.py``)."""
+
+    root: str = "data"
+    ex_dataset: str = "tvsum"        # dataset to evaluate on (train.py:183)
+    datasets: str = "tvsum"          # "+"-joined training datasets (train.py:185)
+    min_train_frames: int = 50       # drop train videos with <=50 frames
+                                     # (dataset.py:117)
+    pad_value: float = 1000.0        # padding sentinel (dataset.py:141)
+    # pad sequence lengths up to a multiple of this, so XLA sees few static
+    # shapes (TPU-only concern; reference pads to per-batch max).
+    length_bucket: int = 128
+    # 'summarizer' = src/data/path.py names (carry `user_scores`);
+    # 'eccv16'     = src/evaluation/compute_metrics.py names.
+    path_scheme: str = "summarizer"
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Summary/metric protocol (reference: ``src/evaluation/``)."""
+
+    budget_ratio: float = 0.15       # generate_summary.py:46
+    eval_method: str = "avg"         # hardcoded even for SumMe
+                                     # (compute_metrics.py:43)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Finetune protocol (reference: ``src/train.py``, ``run_finetune.sh``)."""
+
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    batch_size: int = 4
+    max_epoch: int = 100
+    seed: int = 1234                 # train.py:29
+    use_pretrained: bool = False     # --use_model (train.py:40-44)
+    pretrain_ckpt: str = "pretrain.ckpt"
+    save_ckpt: str = "model_mae.ckpt"
+    # the reference unconditionally loads model_mae.pth before training
+    # (train.py:76) and crashes if absent; we gate it behind a flag.
+    warm_start_from_save: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PretrainConfig:
+    """Self-supervised pretraining (reference: ``src/pretrain.py``,
+    ``src/model/simnet_pretrain.py``, ``run_pretrain.sh``)."""
+
+    lr: float = 1e-3
+    weight_decay: float = 5e-4
+    batch_size: int = 256
+    epochs: int = 200
+    warmup_epochs: int = 50          # pretrain.py:38
+    # quirk: scheduler steps/epoch uses a hardcoded 13000-sample numerator
+    # (pretrain.py:37), not len(dataset).
+    scheduler_samples: int = 13000
+    sharpening_t: float = 0.4        # simnet_pretrain.py:18
+    center_weight: float = 0.5       # pretrain.py:63
+    repel_weight: float = 1.0        # pretrain.py:63
+    # quirk: reference optimizes only model.encoder params; video_transform is
+    # frozen at init (pretrain.py:35-36). Reproduced when True.
+    freeze_video_transform: bool = True
+    seed: int = 1234
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit. The reference is single-GPU; this is a
+    greenfield TPU component (SURVEY.md §2.6)."""
+
+    data: int = -1                   # -1 = all remaining devices
+    model: int = 1                   # tensor-parallel degree (heads/mlp)
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    pretrain: PretrainConfig = dataclasses.field(default_factory=PretrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def finetune_recipe() -> Config:
+    """The ``run_finetune.sh`` recipe: d256/h4/L4, lr 1e-3, wd 1e-4, bs 4."""
+    return Config(
+        model=ModelConfig(d_model=256, num_heads=4, num_layers=4, dropout=0.3),
+        train=TrainConfig(lr=1e-3, weight_decay=1e-4, batch_size=4,
+                          max_epoch=100, use_pretrained=True),
+    )
+
+
+def pretrain_recipe() -> Config:
+    """The ``run_pretrain.sh`` recipe: d256/h4/L4, dropout .2, lr 1e-3, bs 256."""
+    return Config(
+        model=ModelConfig(d_model=256, num_heads=4, num_layers=4, dropout=0.2),
+        pretrain=PretrainConfig(lr=1e-3, batch_size=256, epochs=200),
+    )

@@ -1,0 +1,228 @@
+"""SimNet — the transformer frame-importance scorer, as pure JAX functions
+over an explicit parameter pytree.
+
+Behavior contract (reference: ``src/model/simnet.py``):
+- Linear embed 1024→d_model + sinusoidal positional encoding (+ optional CLS
+  token) → ``num_layers`` post-LN transformer encoder blocks → Linear head
+  d_model→num_classes. Forward returns ``(scores, hidden)``.
+- Attention scale is ``d_model**-0.5`` (simnet.py:126), padding mask is a
+  *key* mask broadcast over heads and queries (simnet.py:47-56,156-157),
+  dropout sits on attention weights, post-activation MLP, and residuals are
+  ``LN(dropout(sub(x)) + x)`` (post-LN, simnet.py:108-111).
+- The reference Encoder's 2-block "score head" is dead code (an empty
+  ModuleList, simnet.py:66-75), so ``forward`` returns ``(x, x)`` — we build
+  the plain L-layer encoder and mirror the ``(scores, hidden)`` /
+  ``model_score`` return contract.
+- Dropped on purpose: the per-layer ``attn.detach().cpu()`` host sync
+  (simnet.py:164) — pure overhead; attention maps are returned only on
+  request and stay on device.
+
+TPU notes: the whole forward is a single XLA program under ``jax.jit`` —
+batched (B, N, D) matmuls land on the MXU; masking/softmax/dropout fuse into
+the surrounding ops. An optional Pallas fused-attention path lives in
+``vidsum_tpu.ops.attention`` and is selected via ``attn_impl='pallas'``.
+Params stay float32; set ``ModelConfig.compute_dtype='bfloat16'`` to run the
+matmul path in bf16 (the TPU replacement for the reference's fp16 AMP).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidsum_tpu.config import ModelConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch.nn.Linear's U(±1/√fan_in) for both w and b,
+# so training dynamics start from the same distribution as the reference).
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, in_dim: int, out_dim: int) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound),
+    }
+
+
+def _init_layernorm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def _init_block(key, cfg: ModelConfig) -> Params:
+    keys = jax.random.split(key, 6)
+    d = cfg.d_model
+    return {
+        "attn": {
+            "q": _init_linear(keys[0], d, d),
+            "k": _init_linear(keys[1], d, d),
+            "v": _init_linear(keys[2], d, d),
+            "proj": _init_linear(keys[3], d, d),
+        },
+        "mlp": {
+            "fc1": _init_linear(keys[4], d, cfg.mlp_scale * d),
+            "fc2": _init_linear(keys[5], cfg.mlp_scale * d, d),
+        },
+        "ln1": _init_layernorm(d),
+        "ln2": _init_layernorm(d),
+    }
+
+
+def init_simnet(key, cfg: ModelConfig) -> Params:
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    params: Params = {
+        "embed": _init_linear(keys[0], cfg.in_features, cfg.d_model),
+        "blocks": [_init_block(keys[i + 1], cfg) for i in range(cfg.num_layers)],
+        "head": _init_linear(keys[cfg.num_layers + 1], cfg.d_model, cfg.num_classes),
+    }
+    if cfg.use_cls:
+        params["cls"] = jnp.zeros((1, 1, cfg.d_model))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def positional_encoding_table(max_len: int, d_model: int) -> jnp.ndarray:
+    """Classic sin/cos table (reference: simnet.py:220-234)."""
+    angle = jnp.exp(-jnp.arange(0, d_model, 2) * math.log(10000.0) / d_model)
+    pos = jnp.arange(0, max_len, dtype=jnp.float32)[:, None]
+    pe = jnp.zeros((max_len, d_model))
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * angle))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * angle))
+    return pe
+
+
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
+
+
+def _layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    # match torch LayerNorm: normalize in fp32, biased variance
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _dropout(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _attention(p: Params, x: jnp.ndarray, pad_mask, cfg: ModelConfig,
+               rng, deterministic: bool, return_weights: bool,
+               attn_impl: str):
+    """Multi-head self-attention (reference: simnet.py:117-164)."""
+    B, N, _ = x.shape
+    H, Dh = cfg.num_heads, cfg.head_dim
+
+    q = _linear(p["q"], x).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+    k = _linear(p["k"], x).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+    v = _linear(p["v"], x).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+
+    weights = None
+    if attn_impl == "pallas" and not return_weights and (
+            deterministic or cfg.dropout == 0.0):
+        from vidsum_tpu.ops.attention import flash_attention
+        out = flash_attention(q, k, v, pad_mask, scale=cfg.attn_scale)
+    else:
+        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) * cfg.attn_scale
+        if pad_mask is not None:
+            # key mask: (B, N) → (B, 1, 1, N); True = padded → -inf
+            scores = jnp.where(pad_mask[:, None, None, :], -jnp.inf, scores)
+        weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        dropped = _dropout(weights, cfg.dropout, rng, deterministic)
+        out = jnp.einsum("bhnm,bhmd->bhnd", dropped, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, H * Dh)
+    out = _linear(p["proj"], out)
+    return out, (weights if return_weights else None)
+
+
+def _mlp(p: Params, x: jnp.ndarray, cfg: ModelConfig, rng,
+         deterministic: bool) -> jnp.ndarray:
+    """2-layer FFN, dropout after ReLU only (reference: simnet.py:167-183)."""
+    h = jax.nn.relu(_linear(p["fc1"], x))
+    h = _dropout(h, cfg.dropout, rng, deterministic)
+    return _linear(p["fc2"], h)
+
+
+def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
+                 pad_mask: Optional[jnp.ndarray] = None, *,
+                 rng=None, deterministic: bool = True,
+                 model_score: bool = False, return_attn: bool = False,
+                 attn_impl: str = "xla"):
+    """Run the scorer.
+
+    :param x: (B, N, 1024) frame features.
+    :param pad_mask: optional (B, N) bool, True at padded frames.
+    :param rng: PRNG key, required when ``deterministic=False``.
+    :param attn_impl: 'xla' (dense, fused by XLA) or 'pallas' (fused
+        flash-attention kernel; inference/no-attn-dropout path).
+    :returns: ``(scores, hidden)`` — (B, N(+1 if cls), num_classes) logits and
+        the final hidden states; with ``return_attn`` also a list of per-layer
+        attention maps. ``model_score`` mirrors the reference's flag (its dead
+        score branch makes both returns identical, simnet.py:66-83).
+    """
+    del model_score  # reference quirk: both branches return the same tensors
+    if not deterministic and rng is None:
+        raise ValueError("rng is required when deterministic=False")
+
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    x = x.astype(compute_dtype)
+    B, N, _ = x.shape
+
+    # Embedding: Linear 1024→d + PE (reference: simnet.py:186-217)
+    h = _linear(params["embed"], x)
+    if cfg.use_pos:
+        pe = positional_encoding_table(max(cfg.max_len, N), cfg.d_model)
+        h = h + pe[None, :N].astype(compute_dtype)
+        if not deterministic and cfg.pos_dropout > 0.0:
+            rng, sub = jax.random.split(rng)
+            h = _dropout(h, cfg.pos_dropout, sub, deterministic)
+    if cfg.use_cls:
+        cls = jnp.broadcast_to(params["cls"].astype(compute_dtype),
+                               (B, 1, cfg.d_model))
+        h = jnp.concatenate([cls, h], axis=1)
+        if pad_mask is not None:
+            pad_mask = jnp.concatenate(
+                [jnp.zeros((B, 1), dtype=bool), pad_mask], axis=1)
+
+    attn_maps: List[jnp.ndarray] = []
+    for block in params["blocks"]:
+        if rng is not None:
+            rng, r_attn, r_d1, r_mlp, r_d2 = jax.random.split(rng, 5)
+        else:
+            r_attn = r_d1 = r_mlp = r_d2 = None
+        sa, w = _attention(block["attn"], h, pad_mask, cfg, r_attn,
+                           deterministic, return_attn, attn_impl)
+        h = _layernorm(block["ln1"], _dropout(sa, cfg.dropout, r_d1,
+                                              deterministic) + h)
+        ff = _mlp(block["mlp"], h, cfg, r_mlp, deterministic)
+        h = _layernorm(block["ln2"], _dropout(ff, cfg.dropout, r_d2,
+                                              deterministic) + h)
+        if return_attn:
+            attn_maps.append(w)
+
+    scores = _linear(params["head"], h).astype(jnp.float32)
+    if return_attn:
+        return scores, h, attn_maps
+    return scores, h
+
+
+def count_params(params: Params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

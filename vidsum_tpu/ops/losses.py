@@ -1,0 +1,63 @@
+"""Training objectives.
+
+- :func:`mse_with_mask_loss` — reference ``src/utils/utils.py:45-56``: masked
+  MSE over raw logits; padded positions are zeroed in both prediction and
+  target and the mean is taken over *all* positions (including padded — a
+  reference quirk kept for training-dynamics parity).
+- Pretrain losses — reference ``src/model/simnet_pretrain.py:35-69``:
+  soft cross-entropy between score-weighted frame-feature mixtures and the
+  frozen video embedding, entropy centering of sharpened scores, and the
+  off-diagonal cosine "repelling" regularizer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def mse_with_mask_loss(output: jnp.ndarray, targets: jnp.ndarray,
+                       pad_mask: jnp.ndarray, reduction: str = "avg") -> jnp.ndarray:
+    """Masked MSE. ``output`` (B, N, 1), ``targets`` (B, N), ``pad_mask`` (B, N)
+    True at padded frames."""
+    output = output.squeeze(-1)
+    keep = jnp.where(pad_mask, 0.0, 1.0).astype(output.dtype)
+    diff = output * keep - targets * keep
+    loss = diff * diff
+    if reduction == "avg":
+        return loss.mean()
+    return loss.sum()
+
+
+def soft_cross_entropy(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """−softmax(x2)·log(softmax(x1)), mean over all elements
+    (simnet_pretrain.py:35-41)."""
+    p1 = jax.nn.softmax(x1, axis=1)
+    p2 = jax.nn.softmax(x2, axis=1)
+    return (-p2 * jnp.log(p1)).mean()
+
+
+def entropy_centering(mixture: jnp.ndarray,
+                      pad_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Entropy of sharpened frame-score distribution, padded frames zeroed
+    (simnet_pretrain.py:43-47). ``mixture`` (B, N, 1), already +1e-9 shifted."""
+    x = mixture * jnp.log(mixture)
+    if pad_mask is not None:
+        x = jnp.where(pad_mask[..., None], 0.0, x)
+    return x.mean(axis=1).mean()
+
+
+def repelling_loss(x: jnp.ndarray,
+                   pad_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean off-diagonal cosine similarity between frame features
+    (simnet_pretrain.py:49-69). ``x`` (B, N, D)."""
+    n_frames = x.shape[1]
+    if pad_mask is not None:
+        x = x * (~pad_mask)[..., None].astype(x.dtype)
+    x = x / (jnp.linalg.norm(x, axis=2, keepdims=True) + 1e-9)
+    sim = jnp.einsum("bnd,bmd->bnm", x, x)
+    off_diag = (jnp.eye(n_frames, dtype=x.dtype) == 0).astype(x.dtype)
+    sim = sim * off_diag[None]
+    return sim.mean(axis=1).mean()
