@@ -1,11 +1,24 @@
 """Repo-root pytest config: force JAX onto CPU with 8 virtual devices so
 multi-chip sharding tests run anywhere (the standard JAX fake-multi-device
-harness; real-TPU benchmarking happens in bench.py, not tests)."""
+harness; real-TPU benchmarking happens in bench.py, not tests).
+
+Gotcha: the installed `jaxtyping` pytest plugin imports jax at plugin-load
+time — *before* this conftest — which locks in the environment's
+JAX_PLATFORMS=axon (the TPU tunnel; per-op RPC latency turns the suite into
+minutes of idle waiting). pytest.ini disables that plugin, and as a belt and
+suspenders we update jax.config directly if jax is already imported.
+"""
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,168 @@
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vidsum_tpu.config import (
+    Config, DataConfig, ModelConfig, PretrainConfig, TrainConfig,
+)
+from vidsum_tpu.data import PATH, TSDataset
+from vidsum_tpu.data.synthetic import (
+    make_synthetic_h5, make_synthetic_pretrain_tree,
+)
+from vidsum_tpu.models import init_simnet
+from vidsum_tpu.train import (
+    finetune, load_checkpoint, make_eval_forward, pretrain, save_checkpoint,
+)
+from vidsum_tpu.data.datasets import PreTrainDataset
+
+TINY_MODEL = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.1,
+                         max_len=256)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traindata")
+    make_synthetic_h5(str(root / PATH["tvsum"]), n_videos=6, seed=11)
+    return str(root)
+
+
+def tiny_config(data_root, **train_kwargs) -> Config:
+    return Config(
+        model=TINY_MODEL,
+        data=DataConfig(root=data_root, ex_dataset="tvsum", datasets="tvsum",
+                        length_bucket=128),
+        train=TrainConfig(lr=1e-3, weight_decay=1e-4, batch_size=2,
+                          max_epoch=2, **train_kwargs),
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = init_simnet(jax.random.PRNGKey(0), TINY_MODEL)
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, params, meta={"epoch": 3})
+    zeros = jax.tree_util.tree_map(np.zeros_like, params)
+    restored, meta = load_checkpoint(path, zeros)
+    assert meta == {"epoch": 3}
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_finetune_micro_train(data_root, tmp_path):
+    """2-epoch micro-train: loss decreases, metrics come out, ckpt written."""
+    cfg = tiny_config(data_root)
+    splits = [{
+        "train_keys": [f"x.h5/video_{i}" for i in range(4)],
+        "test_keys": ["x.h5/video_4", "x.h5/video_5"],
+    }]
+    result = finetune(cfg, splits, workdir=str(tmp_path))
+    assert 0.0 <= result.fscore <= 100.0
+    assert len(result.per_split) == 1
+    assert os.path.exists(tmp_path / cfg.train.save_ckpt)
+    assert os.path.exists(tmp_path / "summary.json")
+    with open(tmp_path / "summary.json") as f:
+        summary = json.load(f)
+    assert set(summary) == {"video_0", "video_1"}
+
+
+def test_finetune_loss_decreases(data_root, tmp_path):
+    """Learnable synthetic gtscore → train loss must drop over epochs."""
+    import logging
+    from vidsum_tpu.train import finetune as ft_mod  # noqa: F401
+    from vidsum_tpu.train.finetune import (
+        _train_epoch, make_finetune_step, make_optimizer,
+    )
+    import jax.numpy as jnp
+    cfg = tiny_config(data_root)
+    dataset = TSDataset(data_root, "tvsum", "tvsum", split="train")
+    optimizer = make_optimizer(cfg.train.lr, cfg.train.weight_decay)
+    step = make_finetune_step(cfg.model, optimizer)
+    params = init_simnet(jax.random.PRNGKey(0), cfg.model)
+    opt_state = optimizer.init(params)
+    rng_np = np.random.default_rng(0)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss, rng = _train_epoch(
+            step, params, opt_state, dataset, cfg, rng_np, rng)
+        losses.append(loss)
+    assert losses[-1] < losses[0]
+
+
+def test_pretrain_micro_train(tmp_path):
+    root = str(tmp_path / "pt")
+    make_synthetic_pretrain_tree(root, n_videos=6, min_frames=30,
+                                 max_frames=60, seed=12)
+    cfg = Config(
+        model=TINY_MODEL,
+        data=DataConfig(root=root, length_bucket=64),
+        pretrain=PretrainConfig(lr=1e-3, batch_size=2, epochs=2,
+                                warmup_epochs=1, scheduler_samples=12),
+    )
+    dataset = PreTrainDataset(root)
+    out = pretrain(cfg, dataset, workdir=str(tmp_path))
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"]).all()
+    # encoder checkpoint written for the finetune warm start
+    assert os.path.exists(tmp_path / cfg.train.pretrain_ckpt)
+    # the frozen video_transform must still hold its init values
+    p0 = init_pretrain_init_values(cfg)
+    got = out["params"]["video_transform"]
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(p0["w"]))
+
+
+def init_pretrain_init_values(cfg):
+    from vidsum_tpu.models.pretrain import init_pretrain_model
+    rng = jax.random.PRNGKey(cfg.pretrain.seed)
+    _, init_key = jax.random.split(rng)
+    return init_pretrain_model(init_key, cfg.model)["video_transform"]
+
+
+def test_pretrain_to_finetune_warm_start(data_root, tmp_path):
+    """Weight-only handoff: finetune must load the pretrained encoder."""
+    root = str(tmp_path / "pt2")
+    make_synthetic_pretrain_tree(root, n_videos=4, min_frames=30,
+                                 max_frames=60, seed=13)
+    cfg_pt = Config(model=TINY_MODEL, data=DataConfig(root=root,
+                                                      length_bucket=64),
+                    pretrain=PretrainConfig(lr=1e-3, batch_size=2, epochs=1,
+                                            warmup_epochs=1,
+                                            scheduler_samples=8))
+    pretrain(cfg_pt, PreTrainDataset(root), workdir=str(tmp_path))
+
+    cfg_ft = tiny_config(data_root, use_pretrained=True)
+    splits = [{"train_keys": [f"x/video_{i}" for i in range(4)],
+               "test_keys": ["x/video_4"]}]
+    result = finetune(cfg_ft, splits, workdir=str(tmp_path),
+                      export_summary=False)
+    assert np.isfinite(result.fscore)
+
+
+def test_cli_train_smoke(data_root, tmp_path, capsys):
+    split_file = tmp_path / "splits.json"
+    split_file.write_text(json.dumps([{
+        "train_keys": [f"x/video_{i}" for i in range(4)],
+        "test_keys": ["x/video_4", "x/video_5"]}]))
+    from vidsum_tpu.cli.train import main
+    main(["--data", data_root, "--datasets", "tvsum", "--ex_dataset", "tvsum",
+          "--d_model", "32", "--num_heads", "4", "--num_layers", "1",
+          "--batch_size", "2", "--max_epoch", "1",
+          "--split_path", str(split_file), "--workdir", str(tmp_path)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert {"fscore", "kendall_tau", "spearman_rho"} <= set(metrics)
+
+
+def test_cli_pretrain_smoke(tmp_path):
+    root = str(tmp_path / "pt3")
+    make_synthetic_pretrain_tree(root, n_videos=4, min_frames=20,
+                                 max_frames=40, seed=14)
+    from vidsum_tpu.cli.pretrain import main
+    main(["--data", root, "--d_model", "32", "--num_heads", "4",
+          "--num_layers", "1", "--batch_size", "2", "--epochs", "1",
+          "--length_bucket", "64", "--save", str(tmp_path)])
+    assert os.path.exists(tmp_path / "pretrain.ckpt")

@@ -36,5 +36,10 @@ def load_splits(path: str) -> List[Dict[str, List[str]]]:
 
 def builtin_split_path(dataset: str) -> str:
     """Path to the bundled DSNet split config for a dataset name
-    (``tvsum``, ``summe``, ``tvsum_aug``, ``summe_aug``)."""
-    return os.path.join(SPLIT_DIR, f"{dataset}.yaml")
+    (``tvsum``, ``summe``, ``tvsum_aug``, ``summe_aug``).
+
+    The fold definitions are the canonical DSNet splits (same video keys as
+    the reference's ``src/splits_dsnet/*.yaml``), stored as compact JSON with
+    only the ``<h5file>/<video_key>`` tails.
+    """
+    return os.path.join(SPLIT_DIR, f"{dataset}.json")

@@ -46,6 +46,10 @@ def knapsack(W: int, wt: Sequence[int], val: Sequence[float],
         raise ValueError("wt and val must have equal length")
     if n and wt_arr.min() < 0:
         raise ValueError("negative shot length")
+    if n and not np.isfinite(val_arr).all():
+        # NaN values poison the backtrack (NaN != NaN selects every shot and
+        # drives the capacity negative) — fail loudly instead.
+        raise ValueError("non-finite shot value")
 
     if _knapsack_native is not None and use_native:
         return _knapsack_native(W, wt_arr, val_arr)

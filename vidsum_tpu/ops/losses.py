@@ -56,7 +56,13 @@ def repelling_loss(x: jnp.ndarray,
     n_frames = x.shape[1]
     if pad_mask is not None:
         x = x * (~pad_mask)[..., None].astype(x.dtype)
-    x = x / (jnp.linalg.norm(x, axis=2, keepdims=True) + 1e-9)
+    # safe norm: padded rows are all-zero and d||x||/dx = x/||x|| is 0/0
+    # there — route zero rows around the sqrt so gradients stay finite
+    # (forward value matches the reference's x/(norm+1e-9) exactly: 0).
+    sq = jnp.sum(x * x, axis=2, keepdims=True)
+    zero = sq == 0.0
+    norm = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+    x = x / (norm + 1e-9)
     sim = jnp.einsum("bnd,bmd->bnm", x, x)
     off_diag = (jnp.eye(n_frames, dtype=x.dtype) == 0).astype(x.dtype)
     sim = sim * off_diag[None]

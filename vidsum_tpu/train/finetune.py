@@ -1,0 +1,162 @@
+"""Supervised finetuning driver — the reference's ``src/train.py`` protocol,
+restructured around jitted steps and static-shape batches.
+
+Protocol (reference: ``src/train.py:21-108``): per DSNet fold — fixed seed,
+fresh model, Adam(+coupled wd), optional pretrained warm start, epoch loop of
+masked-MSE train steps and a val pass (sigmoid scores → KTS/knapsack summary →
+F/τ/ρ), per-fold **max over epochs** of each metric, then the mean across
+folds. A summary JSON export runs once per fold like ``train.py:77``.
+
+TPU-native deltas (each deliberate; SURVEY.md §7):
+- batches are padded to static length buckets so XLA compiles a handful of
+  programs instead of one per batch shape;
+- no AMP GradScaler (bf16 path has fp32 exponent range);
+- checkpoints are msgpack pytrees; the reference's *unconditional* crash-prone
+  ``model_mae.pth`` load (train.py:76) is opt-in via
+  ``TrainConfig.warm_start_from_save``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidsum_tpu.config import Config
+from vidsum_tpu.data.collate import make_batches, pad_batch
+from vidsum_tpu.data.datasets import TSDataset
+from vidsum_tpu.models.simnet import count_params, init_simnet
+from vidsum_tpu.ops.metrics import eval_metrics
+from vidsum_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from vidsum_tpu.train.steps import (
+    make_eval_forward, make_finetune_step, make_optimizer,
+)
+from vidsum_tpu.utils.meters import AverageMeter
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class FinetuneResult:
+    fscore: float
+    kendall_tau: float
+    spearman_rho: float
+    per_split: List[Dict[str, float]]
+
+
+def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax):
+    loss_avg = AverageMeter()
+    for batch_idx in make_batches(len(dataset), cfg.train.batch_size,
+                                  shuffle=True, rng=rng_np):
+        feats, tgts = zip(*[dataset[i] for i in batch_idx])
+        x, t, mask = pad_batch(feats, tgts, pad_value=cfg.data.pad_value,
+                               bucket=cfg.data.length_bucket)
+        rng_jax, sub = jax.random.split(rng_jax)
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(x), jnp.asarray(t),
+            jnp.asarray(mask), sub)
+        loss_avg.update(float(loss), 1)
+    return params, opt_state, loss_avg.avg(), rng_jax
+
+
+def _val_epoch(fwd, params, dataset, cfg):
+    """Sigmoid scores per video → eval_metrics (reference train.py:134-152)."""
+    score_dict, user_dict = {}, {}
+    loss_avg = AverageMeter()
+    for i in range(len(dataset)):
+        feats, target, user = dataset[i]
+        n = feats.shape[0]
+        x, _, mask = pad_batch([feats], [target], pad_value=cfg.data.pad_value,
+                               bucket=cfg.data.length_bucket)
+        pred = fwd(params, jnp.asarray(x), jnp.asarray(mask))[0, :n]
+        pred = np.asarray(pred)
+        loss_avg.update(float(np.mean((pred - target) ** 2)), 1)
+        score_dict[user.name] = pred
+        user_dict[user.name] = user
+    f, k, s = eval_metrics(score_dict, user_dict,
+                           eval_method=cfg.eval.eval_method,
+                           budget_ratio=cfg.eval.budget_ratio)
+    return loss_avg.avg(), f, k, s
+
+
+def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
+             workdir: str = ".",
+             export_summary: bool = True) -> FinetuneResult:
+    """Run the full 5-fold finetune + eval protocol. Returns fold-averaged
+    max-over-epoch metrics (reference train.py:98-108)."""
+    avg_f, avg_k, avg_s = AverageMeter(), AverageMeter(), AverageMeter()
+    per_split = []
+
+    optimizer = make_optimizer(cfg.train.lr, cfg.train.weight_decay)
+    step_fn = make_finetune_step(cfg.model, optimizer)
+    fwd = make_eval_forward(cfg.model)
+
+    for split_idx, split in enumerate(splits):
+        logger.info("Split %d", split_idx + 1)
+        rng_jax = jax.random.PRNGKey(cfg.train.seed)
+        rng_np = np.random.default_rng(cfg.train.seed)
+        rng_jax, init_key = jax.random.split(rng_jax)
+        params = init_simnet(init_key, cfg.model)
+        opt_state = optimizer.init(params)
+
+        pretrain_path = os.path.join(workdir, cfg.train.pretrain_ckpt)
+        if cfg.train.use_pretrained and os.path.exists(pretrain_path):
+            params, _ = load_checkpoint(pretrain_path, params)
+            logger.info("loaded pretrained encoder from %s", pretrain_path)
+        save_path = os.path.join(workdir, cfg.train.save_ckpt)
+        if cfg.train.warm_start_from_save and os.path.exists(save_path):
+            params, _ = load_checkpoint(save_path, params)
+
+        logger.info("model has %d parameters", count_params(params))
+
+        train_set = TSDataset(cfg.data.root, cfg.data.ex_dataset,
+                              cfg.data.datasets, split["train_keys"],
+                              split="train",
+                              min_frames=cfg.data.min_train_frames,
+                              path_scheme=cfg.data.path_scheme)
+        val_set = TSDataset(cfg.data.root, cfg.data.ex_dataset,
+                            cfg.data.datasets, split["test_keys"], split="val",
+                            path_scheme=cfg.data.path_scheme)
+
+        if export_summary:
+            from vidsum_tpu.export.summary_json import write_summary_json
+            write_summary_json(fwd, params, val_set, cfg,
+                               os.path.join(workdir, "summary.json"))
+
+        fs, ks, ss = [], [], []
+        for epoch in range(cfg.train.max_epoch):
+            t0 = time.time()
+            params, opt_state, train_loss, rng_jax = _train_epoch(
+                step_fn, params, opt_state, train_set, cfg, rng_np, rng_jax)
+            val_loss, f, k, s = _val_epoch(fwd, params, val_set, cfg)
+            fs.append(f)
+            if not (np.isnan(k) or np.isnan(s)):
+                ks.append(k)
+                ss.append(s)
+            logger.info("Epoch %d: train %.4f val %.4f F %.2f τ %.4f ρ %.4f "
+                        "(%.1fs)", epoch, train_loss, val_loss, f, k, s,
+                        time.time() - t0)
+            save_checkpoint(save_path, params,
+                            meta={"epoch": epoch, "split": split_idx})
+
+        split_best = {"fscore": max(fs), "kendall_tau": max(ks) if ks else float("nan"),
+                      "spearman_rho": max(ss) if ss else float("nan")}
+        per_split.append(split_best)
+        avg_f.update(split_best["fscore"], 1)
+        if ks:
+            avg_k.update(split_best["kendall_tau"], 1)
+            avg_s.update(split_best["spearman_rho"], 1)
+
+    result = FinetuneResult(avg_f.avg(),
+                            avg_k.avg() if avg_k.num else float("nan"),
+                            avg_s.avg() if avg_s.num else float("nan"),
+                            per_split)
+    logger.info("Total fscore: %.4f  τ: %.4f  ρ: %.4f", result.fscore,
+                result.kendall_tau, result.spearman_rho)
+    return result

@@ -1,0 +1,79 @@
+"""Self-supervised pretraining driver — the reference's ``src/pretrain.py``
+protocol around jitted steps.
+
+Protocol (reference: ``src/pretrain.py:14-87``): eager-loaded feature/video
+pairs, shuffled drop-last batches, PretrainModel with the 3-loss objective
+(weights from config; reference hardcodes ``main + 0.5*center + 1*repel`` at
+pretrain.py:63), Adam over encoder params only, cosine-warmup schedule with
+the 13000-sample numerator quirk, encoder checkpoint each epoch.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidsum_tpu.config import Config
+from vidsum_tpu.data.collate import make_batches, pad_batch_pretrain
+from vidsum_tpu.models.pretrain import init_pretrain_model
+from vidsum_tpu.models.simnet import count_params
+from vidsum_tpu.train.checkpoint import save_checkpoint
+from vidsum_tpu.train.schedule import reference_pretrain_schedule
+from vidsum_tpu.train.steps import make_optimizer, make_pretrain_step
+from vidsum_tpu.utils.meters import AverageMeter
+
+logger = logging.getLogger(__name__)
+
+
+def pretrain(cfg: Config, dataset, workdir: str = ".",
+             log_every: int = 4) -> dict:
+    """Run pretraining over ``dataset`` (any indexable of
+    ``(frame_features, video_rep)`` pairs). Returns the final param pytree;
+    the encoder subtree is checkpointed each epoch like pretrain.py:46."""
+    pcfg = cfg.pretrain
+    steps_per_epoch = max(pcfg.scheduler_samples // pcfg.batch_size, 1)
+    schedule = reference_pretrain_schedule(pcfg.lr, steps_per_epoch,
+                                           pcfg.warmup_epochs, pcfg.epochs)
+    optimizer = make_optimizer(schedule, pcfg.weight_decay)
+    step_fn = make_pretrain_step(cfg.model, pcfg, optimizer)
+
+    rng_jax = jax.random.PRNGKey(pcfg.seed)
+    rng_np = np.random.default_rng(pcfg.seed)
+    rng_jax, init_key = jax.random.split(rng_jax)
+    params = init_pretrain_model(init_key, cfg.model)
+    opt_state = optimizer.init(params)
+    logger.info("number of videos: %d", len(dataset))
+    logger.info("number of model parameters: %d", count_params(params))
+
+    ckpt_path = os.path.join(workdir, cfg.train.pretrain_ckpt)
+    history = []
+    for epoch in range(pcfg.epochs):
+        epoch_loss = AverageMeter()
+        for i, batch_idx in enumerate(make_batches(
+                len(dataset), pcfg.batch_size, shuffle=True, rng=rng_np,
+                drop_last=True)):
+            feats, reps = zip(*[dataset[j] for j in batch_idx])
+            x, v, mask = pad_batch_pretrain(
+                feats, reps, pad_value=cfg.data.pad_value,
+                bucket=cfg.data.length_bucket)
+            rng_jax, sub = jax.random.split(rng_jax)
+            params, opt_state, losses = step_fn(
+                params, opt_state, jnp.asarray(x), jnp.asarray(v),
+                jnp.asarray(mask), sub)
+            total, main, center, repel = (float(l) for l in losses)
+            epoch_loss.update(total, 1)
+            if (i + 1) % log_every == 0:
+                logger.info("Epoch %3d step %d: loss %.5f (main %.5f "
+                            "center %.5f repel %.5f)", epoch, i + 1, total,
+                            main, center, repel)
+        if epoch_loss.num:
+            history.append(epoch_loss.avg())
+            logger.info("Total Loss %f", epoch_loss.avg())
+        # weight-only encoder checkpoint for the finetune warm start
+        save_checkpoint(ckpt_path, params["encoder"], meta={"epoch": epoch})
+    return {"params": params, "history": history}
