@@ -45,7 +45,8 @@ def main() -> None:
     pad_mask = jnp.zeros((B, N), bool)
 
     def fwd(params, x):
-        s, _ = simnet_apply(params, cfg, x, pad_mask, deterministic=True)
+        s, _ = simnet_apply(params, cfg, x, pad_mask, deterministic=True,
+                            attn_impl="pallas")
         return jax.nn.sigmoid(s[..., 0])
 
     @jax.jit

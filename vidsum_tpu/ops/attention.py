@@ -1,0 +1,125 @@
+"""Fused masked-attention Pallas TPU kernel.
+
+This is the framework's hot op: the reference's per-layer attention
+(``src/model/simnet.py:148-163`` — QK^T·scale → key-mask fill → softmax → AV)
+materializes the (B, H, N, N) score tensor in HBM four times per model and
+forces a device→host copy of the weights every forward (simnet.py:164). Here
+the whole block runs on-chip: for each (batch, head) grid cell the kernel
+streams query tiles through VMEM, computes scores against all keys on the MXU,
+applies the key padding mask and a numerically-stable softmax on the VPU, and
+multiplies into the output tile — the N×N matrix never touches HBM.
+
+Video-summarization shapes (N ≤ 2560, head_dim 64) let each (b, h) cell hold
+full K/V in VMEM (≤ 2560·64·4B ≈ 0.7 MB), so no online-softmax rescaling pass
+is needed — one tile of scores (TILE_Q × N ≈ 1.3 MB fp32) is exact.
+
+Inputs may be bf16 (the TPU AMP analogue); matmuls accumulate in fp32 via
+``preferred_element_type`` and the softmax runs in fp32.
+
+Falls back to interpret mode off-TPU so the same code path is testable on the
+CPU harness.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_Q = 128
+NEG_INF = float("-inf")
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
+                      n_q_tiles: int):
+    """One (batch, head) cell: all query tiles vs all keys.
+
+    Ref shapes (leading singleton grid dims squeezed by indexing):
+      q_ref/k_ref/v_ref: (1, 1, N, Dh), mask_ref: (1, 1, N) int8 (nonzero =
+      padded; 3-D so the block satisfies Mosaic's equal-to-array-dim rule),
+      o_ref like q.
+    """
+    k = k_ref[0, 0]                      # (N, Dh)
+    v = v_ref[0, 0]                      # (N, Dh)
+    # keep the mask 2-D — Mosaic's layout inference rejects 1-D vectors
+    key_mask = mask_ref[0] != 0          # (1, N), True = padded
+
+    def tile(i, _):
+        q = q_ref[0, 0, pl.ds(i * TILE_Q, TILE_Q), :]          # (Tq, Dh)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale        # (Tq, N)
+        s = jnp.where(key_mask, NEG_INF, s)  # (1, N) broadcasts over rows
+        # stable softmax in fp32 on the VPU
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Tq, Dh)
+        o_ref[0, 0, pl.ds(i * TILE_Q, TILE_Q), :] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_q_tiles, tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_attention(q, k, v, pad_mask, scale: float, interpret: bool):
+    B, H, N, Dh = q.shape
+    n_q_tiles = N // TILE_Q
+
+    grid = (B, H)
+    qkv_spec = pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, N), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    pad_mask = pad_mask.astype(jnp.int8)[:, None, :]
+
+    kernel = functools.partial(_attention_kernel, scale=scale,
+                               n_q_tiles=n_q_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * N * N * Dh,
+            bytes_accessed=4 * B * H * N * Dh * q.dtype.itemsize,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=interpret,
+    )(q, k, v, pad_mask)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    pad_mask: Optional[jnp.ndarray], scale: float
+                    ) -> jnp.ndarray:
+    """Fused attention. q/k/v: (B, H, N, Dh); pad_mask: (B, N) bool, True at
+    padded keys (or None); returns (B, H, N, Dh) in q's dtype.
+
+    Requires N to be a multiple of 128 (the collate layer's length buckets
+    guarantee this); other shapes fall back to the XLA dense path.
+    """
+    B, H, N, Dh = q.shape
+    if N % TILE_Q != 0:
+        return _xla_attention(q, k, v, pad_mask, scale)
+    if pad_mask is None:
+        pad_mask = jnp.zeros((B, N), bool)
+    interpret = jax.default_backend() != "tpu"
+    return _flash_attention(q, k, v, pad_mask, scale, interpret)
+
+
+def _xla_attention(q, k, v, pad_mask, scale):
+    """Dense reference path (what the 'xla' attn_impl computes in simnet)."""
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if pad_mask is not None:
+        s = jnp.where(pad_mask[:, None, None, :], NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
