@@ -1,0 +1,127 @@
+"""Plain-torch mirrors of the torchvision GoogLeNet / R3D-18 structures
+(attribute names chosen so ``state_dict()`` keys match torchvision's layout).
+
+torchvision itself is not installed in this environment; these mirrors let
+the tests validate the JAX implementations + weight converters numerically:
+random torch weights → converter → JAX forward must equal torch forward.
+"""
+
+import torch
+from torch import nn
+
+
+class BasicConv2d(nn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class Inception(nn.Module):
+    def __init__(self, cin, c1, c3r, c3, c5r, c5, pp):
+        super().__init__()
+        self.branch1 = BasicConv2d(cin, c1, kernel_size=1)
+        self.branch2 = nn.Sequential(
+            BasicConv2d(cin, c3r, kernel_size=1),
+            BasicConv2d(c3r, c3, kernel_size=3, padding=1))
+        self.branch3 = nn.Sequential(
+            BasicConv2d(cin, c5r, kernel_size=1),
+            BasicConv2d(c5r, c5, kernel_size=3, padding=1))
+        self.branch4 = nn.Sequential(
+            nn.MaxPool2d(3, stride=1, padding=1, ceil_mode=True),
+            BasicConv2d(cin, pp, kernel_size=1))
+
+    def forward(self, x):
+        return torch.cat([self.branch1(x), self.branch2(x), self.branch3(x),
+                          self.branch4(x)], 1)
+
+
+class GoogLeNetMirror(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = BasicConv2d(3, 64, kernel_size=7, stride=2, padding=3)
+        self.maxpool1 = nn.MaxPool2d(3, stride=2, ceil_mode=True)
+        self.conv2 = BasicConv2d(64, 64, kernel_size=1)
+        self.conv3 = BasicConv2d(64, 192, kernel_size=3, padding=1)
+        self.maxpool2 = nn.MaxPool2d(3, stride=2, ceil_mode=True)
+        self.inception3a = Inception(192, 64, 96, 128, 16, 32, 32)
+        self.inception3b = Inception(256, 128, 128, 192, 32, 96, 64)
+        self.maxpool3 = nn.MaxPool2d(3, stride=2, ceil_mode=True)
+        self.inception4a = Inception(480, 192, 96, 208, 16, 48, 64)
+        self.inception4b = Inception(512, 160, 112, 224, 24, 64, 64)
+        self.inception4c = Inception(512, 128, 128, 256, 24, 64, 64)
+        self.inception4d = Inception(512, 112, 144, 288, 32, 64, 64)
+        self.inception4e = Inception(528, 256, 160, 320, 32, 128, 128)
+        self.maxpool4 = nn.MaxPool2d(2, stride=2, ceil_mode=True)
+        self.inception5a = Inception(832, 256, 160, 320, 32, 128, 128)
+        self.inception5b = Inception(832, 384, 192, 384, 48, 128, 128)
+
+    def forward(self, x):
+        x = self.maxpool1(self.conv1(x))
+        x = self.maxpool2(self.conv3(self.conv2(x)))
+        x = self.maxpool3(self.inception3b(self.inception3a(x)))
+        x = self.inception4e(self.inception4d(self.inception4c(
+            self.inception4b(self.inception4a(x)))))
+        x = self.maxpool4(x)
+        x = self.inception5b(self.inception5a(x))
+        return x.mean(dim=(2, 3))  # pool5
+
+
+def conv3x3x3(cin, cout, stride=1):
+    return nn.Conv3d(cin, cout, 3, stride=stride, padding=1, bias=False)
+
+
+class VideoBasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Sequential(conv3x3x3(cin, cout, stride),
+                                   nn.BatchNorm3d(cout), nn.ReLU())
+        self.conv2 = nn.Sequential(conv3x3x3(cout, cout),
+                                   nn.BatchNorm3d(cout))
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv3d(cin, cout, 1, stride=stride, bias=False),
+                nn.BatchNorm3d(cout))
+
+    def forward(self, x):
+        out = self.conv2(self.conv1(x))
+        sc = x if self.downsample is None else self.downsample(x)
+        return torch.relu(out + sc)
+
+
+class R3D18Mirror(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv3d(3, 64, (3, 7, 7), stride=(1, 2, 2), padding=(1, 3, 3),
+                      bias=False),
+            nn.BatchNorm3d(64), nn.ReLU())
+        self.layer1 = nn.Sequential(VideoBasicBlock(64, 64),
+                                    VideoBasicBlock(64, 64))
+        self.layer2 = nn.Sequential(VideoBasicBlock(64, 128, 2),
+                                    VideoBasicBlock(128, 128))
+        self.layer3 = nn.Sequential(VideoBasicBlock(128, 256, 2),
+                                    VideoBasicBlock(256, 256))
+        self.layer4 = nn.Sequential(VideoBasicBlock(256, 512, 2),
+                                    VideoBasicBlock(512, 512))
+
+    def forward(self, x):
+        x = self.stem(x)
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return x.mean(dim=(2, 3, 4))
+
+
+def randomize_bn_stats(model, seed=0):
+    """Give BN layers nontrivial running stats so parity tests are strict."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm3d)):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+            with torch.no_grad():
+                m.weight.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.num_features, generator=g) * 0.1)

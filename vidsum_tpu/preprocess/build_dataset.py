@@ -1,0 +1,155 @@
+"""Offline dataset builder: raw videos + annotations → DSNet-schema h5.
+
+Replaces the reference's ``src/data/preprocess/make_dataset.py`` orchestrator
+(which executes at import with a hardcoded home path, calls the SumMe reader
+on TVSum data at :46, and tars a temp dir whose feature extraction is
+commented out — see SURVEY.md §2.3). This builder runs only when invoked,
+writes the ``features / gtscore / user_summary / user_scores / change_points
+/ n_frames / picks`` schema the training/eval stack reads
+(``src/data/dataset.py:93-99``), and also emits the ``video/<name>.npy``
+R3D-18 embeddings pretraining consumes.
+
+Pipeline per video: OpenCV fps reduction → batched GoogLeNet pool5 on the
+accelerator → KTS (or uniform) shot segmentation in pick coordinates scaled
+to original frames (the DSNet convention) → per-user ground-truth summaries
+via the same 15%-knapsack machinery used at eval time.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from typing import Dict, Iterable, Optional
+
+import h5py
+import numpy as np
+
+from vidsum_tpu.ops.knapsack import knapsack
+from vidsum_tpu.ops.kts import change_points_from_cps, kts_segmentation
+from vidsum_tpu.ops.segmentation import starts_to_bounds, uniform_segmentation
+from vidsum_tpu.preprocess.annotations import VideoAnnotation
+from vidsum_tpu.preprocess.extract import FeatureExtractor
+from vidsum_tpu.preprocess.reduce_fps import reduce_fps
+
+logger = logging.getLogger(__name__)
+
+ACCEPTED_VIDEO_FORMATS = ("mp4", "mkv", "mpeg", "avi", "webm")
+
+
+def segment_video(features: np.ndarray, n_frames: int, picks: np.ndarray,
+                  mode: str = "kts", fps: int = 2,
+                  max_cp: Optional[int] = None) -> np.ndarray:
+    """Shot bounds (S, 2) inclusive, in ORIGINAL frame coordinates."""
+    n_picks = features.shape[0]
+    if mode == "uniform":
+        starts = uniform_segmentation(n_picks, fps=fps)
+        bounds = starts_to_bounds(starts, n_picks)
+    elif mode == "kts":
+        gram = features @ features.T
+        ncp = max_cp if max_cp is not None else max(n_picks // 25, 1)
+        cps, _ = kts_segmentation(gram, ncp, vmax=1.0)
+        bounds = change_points_from_cps(cps, n_picks)
+    else:
+        raise ValueError(mode)
+    # pick coords → original frame coords (DSNet convention)
+    ratio = n_frames / n_picks
+    starts = np.round(bounds[:, 0] * ratio).astype(np.int64)
+    ends = np.concatenate([starts[1:] - 1, [n_frames - 1]])
+    return np.stack([starts, ends], axis=1)
+
+
+def user_summaries_from_scores(user_anno: np.ndarray,
+                               change_points: np.ndarray, n_frames: int,
+                               budget_ratio: float = 0.15) -> np.ndarray:
+    """Binary per-user summaries from per-frame user scores via the same
+    shot-knapsack used at eval (how the eccv16 files were constructed)."""
+    U = user_anno.shape[0]
+    out = np.zeros((U, n_frames), dtype=np.int8)
+    lengths = (change_points[:, 1] - change_points[:, 0] + 1).tolist()
+    budget = int(n_frames * budget_ratio)
+    for u in range(U):
+        scores = user_anno[u][:n_frames]
+        values = [float(scores[s:e + 1].mean()) for s, e in change_points]
+        for shot in knapsack(budget, lengths, values):
+            s, e = change_points[shot]
+            out[u, s:e + 1] = 1
+    return out
+
+
+def build_video_entry(frames: np.ndarray, picks: np.ndarray, n_frames: int,
+                      annotation: Optional[VideoAnnotation],
+                      google: FeatureExtractor,
+                      r3d: Optional[FeatureExtractor] = None,
+                      seg_mode: str = "kts", fps: int = 2) -> Dict:
+    """All h5 fields for one video (+ optional 'video_rep')."""
+    features = google.frames(frames)
+    change_points = segment_video(features, n_frames, picks, seg_mode, fps)
+    entry: Dict = {
+        "features": features.astype(np.float32),
+        "change_points": change_points,
+        "n_frames": np.int64(n_frames),
+        "picks": picks.astype(np.int64),
+        "n_steps": np.int64(len(picks)),
+    }
+    if annotation is not None:
+        gt = annotation.gt_score[:n_frames]
+        entry["gtscore"] = gt[np.minimum(picks, len(gt) - 1)].astype(np.float32)
+        user_scores = annotation.user_anno[:, :n_frames].astype(np.float32)
+        if np.isin(user_scores, (0.0, 1.0)).all():
+            user_summary = user_scores.astype(np.int8)  # SumMe: binary already
+        else:
+            user_summary = user_summaries_from_scores(user_scores,
+                                                      change_points, n_frames)
+        entry["user_scores"] = user_scores
+        entry["user_summary"] = user_summary
+    if r3d is not None:
+        entry["video_rep"] = r3d.clip(frames)
+    return entry
+
+
+def build_dataset(video_dir: str, out_h5: str,
+                  annotations: Optional[Dict[str, VideoAnnotation]] = None,
+                  fps: int = 2, seg_mode: str = "kts",
+                  google_weights: Optional[str] = None,
+                  r3d_weights: Optional[str] = None,
+                  with_video_rep: bool = False,
+                  video_rep_dir: Optional[str] = None) -> int:
+    """Build a DSNet-schema h5 from a directory of videos. Returns the number
+    of videos written; keys are ``video_0 … video_{n-1}`` in sorted filename
+    order, with the source name recorded in ``video_name``."""
+    google = FeatureExtractor("google", weights=google_weights)
+    r3d = (FeatureExtractor("r3d18", weights=r3d_weights)
+           if with_video_rep else None)
+
+    paths = sorted(p for p in glob.glob(os.path.join(video_dir, "*"))
+                   if p.rsplit(".", 1)[-1].lower() in ACCEPTED_VIDEO_FORMATS)
+    os.makedirs(os.path.dirname(out_h5) or ".", exist_ok=True)
+    if video_rep_dir:
+        os.makedirs(video_rep_dir, exist_ok=True)
+
+    written = 0
+    with h5py.File(out_h5, "w") as f:
+        for i, path in enumerate(paths):
+            name = os.path.basename(path).rsplit(".", 1)[0]
+            anno = annotations.get(name) if annotations else None
+            frames, picks, n_frames = reduce_fps(path, fps=fps)
+            if frames.shape[0] == 0:
+                logger.warning("skipping empty video %s", path)
+                continue
+            entry = build_video_entry(frames, picks, n_frames, anno, google,
+                                      r3d, seg_mode, fps)
+            key = f"video_{i}"
+            g = f.create_group(key)
+            for field, value in entry.items():
+                if field == "video_rep":
+                    continue
+                g[field] = value
+            g["video_name"] = np.bytes_(name)
+            if r3d is not None and video_rep_dir:
+                np.save(os.path.join(video_rep_dir, f"{key}.npy"),
+                        entry["video_rep"])
+            written += 1
+            logger.info("wrote %s (%s): %d picks / %d frames", key, name,
+                        len(picks), n_frames)
+    return written

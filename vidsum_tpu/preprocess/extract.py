@@ -1,0 +1,104 @@
+"""Feature extraction entry points.
+
+API mirrors the reference (``src/data/preprocess/feature_extraction.py:10,45``):
+:func:`get_google_net_features` (per-frame 1024-d pool5) and
+:func:`get_video_feature` (512-d R3D-18 clip embedding) — but the forward is a
+single jitted XLA program over micro-batches of frames instead of a Python
+loop of PIL→tensor conversions, and weights come from an explicit source
+(torchvision ``.pth``/``.npz`` state dict, or random for plumbing tests)
+because this environment has no torchvision/downloads.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from vidsum_tpu.preprocess.transforms import prepare_video
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch ``.pth``/``.pt`` state dict or an ``.npz`` into numpy."""
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    return {k: v.numpy() for k, v in state.items()}
+
+
+class FeatureExtractor:
+    """Batched, jitted CNN feature extraction on the accelerator."""
+
+    def __init__(self, kind: str = "google",
+                 weights: Optional[str] = None,
+                 batch_size: int = 64,
+                 compute_dtype: str = "float32"):
+        import jax
+
+        self.kind = kind
+        self.batch_size = batch_size
+        self.compute_dtype = compute_dtype
+        if kind == "google":
+            from vidsum_tpu.preprocess.googlenet import (
+                googlenet_apply, googlenet_from_torch_state, init_googlenet,
+            )
+            self._apply = googlenet_apply
+            self.params = (googlenet_from_torch_state(load_state_dict(weights))
+                           if weights else init_googlenet(jax.random.PRNGKey(0)))
+        elif kind == "r3d18":
+            from vidsum_tpu.preprocess.r3d import (
+                init_r3d18, r3d18_apply, r3d18_from_torch_state,
+            )
+            self._apply = r3d18_apply
+            self.params = (r3d18_from_torch_state(load_state_dict(weights))
+                           if weights else init_r3d18(jax.random.PRNGKey(0)))
+        else:
+            raise ValueError(kind)
+        self._jitted = jax.jit(
+            lambda p, x: self._apply(p, x.astype(compute_dtype)))
+
+    def frames(self, video: np.ndarray, size: int = 224) -> np.ndarray:
+        """(T, H, W, 3) uint8 → (T, 1024) GoogLeNet pool5 features."""
+        assert self.kind == "google"
+        x = prepare_video(video, size, "google")
+        outs = []
+        for start in range(0, x.shape[0], self.batch_size):
+            chunk = x[start:start + self.batch_size]
+            # pad the tail chunk to the batch size for a single XLA program
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            out = np.asarray(self._jitted(self.params, chunk))
+            outs.append(out[: self.batch_size - pad if pad else None])
+        return np.concatenate(outs).astype(np.float32)
+
+    def clip(self, video: np.ndarray, size: int = 112) -> np.ndarray:
+        """(T, H, W, 3) uint8 → (512,) R3D-18 clip embedding."""
+        assert self.kind == "r3d18"
+        x = prepare_video(video, size, "r3d18")[None]  # (1, T, h, w, 3)
+        return np.asarray(self._jitted(self.params, x))[0].astype(np.float32)
+
+
+@functools.lru_cache(maxsize=2)
+def _default_extractor(kind: str, size_hint: int) -> FeatureExtractor:
+    weights = os.environ.get(
+        "VIDSUM_GOOGLENET_WEIGHTS" if kind == "google"
+        else "VIDSUM_R3D18_WEIGHTS")
+    return FeatureExtractor(kind, weights=weights)
+
+
+def get_google_net_features(video: np.ndarray, size: int = 224) -> np.ndarray:
+    """Reference-compatible wrapper (feature_extraction.py:10-41)."""
+    return _default_extractor("google", size).frames(video, size)
+
+
+def get_video_feature(video: np.ndarray, size: int = 112) -> np.ndarray:
+    """Reference-compatible wrapper (feature_extraction.py:45-76)."""
+    return _default_extractor("r3d18", size).clip(video, size)

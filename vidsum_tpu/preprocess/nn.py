@@ -1,0 +1,102 @@
+"""Shared conv-net building blocks for the JAX feature extractors (inference
+only — these networks are frozen feature extractors in the pipeline, like the
+reference's ``torch.no_grad`` wrappers at ``src/data/preprocess/models.py``).
+
+Layout is NHWC / NDHWC (TPU-native); weights converted from torchvision's
+OIHW / OIDHW are transposed once at load."""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+           padding: int = 0) -> jnp.ndarray:
+    """x: (B, H, W, C), w: (kh, kw, cin, cout)."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv3d(x: jnp.ndarray, w: jnp.ndarray,
+           stride: Tuple[int, int, int] = (1, 1, 1),
+           padding: Tuple[int, int, int] = (0, 0, 0)) -> jnp.ndarray:
+    """x: (B, D, H, W, C), w: (kd, kh, kw, cin, cout)."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def batchnorm(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
+              eps: float) -> jnp.ndarray:
+    """Inference batchnorm over the channel-last axis."""
+    inv = jax.lax.rsqrt(p["var"] + eps)
+    return (x - p["mean"]) * inv * p["scale"] + p["bias"]
+
+
+def maxpool2d_ceil(x: jnp.ndarray, k: int, stride: int,
+                   padding: int = 0) -> jnp.ndarray:
+    """MaxPool2d with torch ``ceil_mode=True`` semantics: the right/bottom
+    edge is -inf padded so partial windows contribute their real max."""
+    B, H, W, C = x.shape
+    out_h = math.ceil((H + 2 * padding - k) / stride) + 1
+    out_w = math.ceil((W + 2 * padding - k) / stride) + 1
+    # torch drops a trailing window that would start entirely in padding
+    if (out_h - 1) * stride >= H + padding:
+        out_h -= 1
+    if (out_w - 1) * stride >= W + padding:
+        out_w -= 1
+    pad_h = max((out_h - 1) * stride + k - H - padding, padding)
+    pad_w = max((out_w - 1) * stride + k - W - padding, padding)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k, 1), window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, pad_h), (padding, pad_w), (0, 0)))
+
+
+def global_avg_pool(x: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
+    return x.mean(axis=tuple(axes))
+
+
+# ---------------------------------------------------------------------------
+# torchvision state-dict conversion helpers
+# ---------------------------------------------------------------------------
+
+def conv_w_from_torch(w: np.ndarray) -> np.ndarray:
+    """OIHW → HWIO (2-D) or OIDHW → DHWIO (3-D)."""
+    w = np.asarray(w)
+    if w.ndim == 4:
+        return np.transpose(w, (2, 3, 1, 0))
+    if w.ndim == 5:
+        return np.transpose(w, (2, 3, 4, 1, 0))
+    raise ValueError(f"unexpected conv weight rank {w.ndim}")
+
+
+def bn_from_torch(state: Dict[str, np.ndarray], prefix: str) -> Dict:
+    return {
+        "scale": jnp.asarray(state[f"{prefix}.weight"]),
+        "bias": jnp.asarray(state[f"{prefix}.bias"]),
+        "mean": jnp.asarray(state[f"{prefix}.running_mean"]),
+        "var": jnp.asarray(state[f"{prefix}.running_var"]),
+    }
+
+
+def init_conv_bn(key, kshape: Tuple[int, ...]) -> Dict:
+    """He-style random init for an (untrained) conv+bn block — used when no
+    torchvision weights are supplied (features are then random projections;
+    fine for tests and pipeline plumbing, not for real summaries)."""
+    fan_in = int(np.prod(kshape[:-1]))
+    w = jax.random.normal(key, kshape) * math.sqrt(2.0 / fan_in)
+    cout = kshape[-1]
+    return {
+        "conv": {"w": w},
+        "bn": {"scale": jnp.ones((cout,)), "bias": jnp.zeros((cout,)),
+               "mean": jnp.zeros((cout,)), "var": jnp.ones((cout,))},
+    }

@@ -1,0 +1,60 @@
+"""Image transforms matching the reference's torchvision pipeline
+(``src/data/preprocess/feature_extraction.py:96-114``): Resize(shorter side)
+→ ToTensor (uint8/255) → per-channel Normalize.
+
+The resize runs on host via PIL (bit-compatible with torchvision's
+``transforms.Resize`` on PIL images — same antialiased bilinear); the
+normalize + CNN forward run on device.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+# https://pytorch.org/hub/pytorch_vision_googlenet (feature_extraction.py:86)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# https://pytorch.org/vision video classification (feature_extraction.py:85)
+VIDEO_MEAN = np.array([0.43216, 0.394666, 0.37645], np.float32)
+VIDEO_STD = np.array([0.22803, 0.22145, 0.216989], np.float32)
+
+
+def resize_shorter_side(frame: np.ndarray, size: int) -> np.ndarray:
+    """Resize (H, W, 3) uint8 so the shorter side equals ``size`` (aspect
+    preserved), PIL bilinear — torchvision ``Resize(int)`` semantics."""
+    from PIL import Image
+
+    h, w = frame.shape[:2]
+    if h <= w:
+        new_h, new_w = size, max(round(w * size / h), 1)
+    else:
+        new_h, new_w = max(round(h * size / w), 1), size
+    img = Image.fromarray(frame).resize((new_w, new_h), Image.BILINEAR)
+    return np.asarray(img)
+
+
+def _normalize(frames: np.ndarray, mean: np.ndarray,
+               std: np.ndarray) -> np.ndarray:
+    """uint8 (…, 3) → float32 normalized (ToTensor + Normalize)."""
+    return (frames.astype(np.float32) / 255.0 - mean) / std
+
+
+def imagenet_normalize(frames: np.ndarray) -> np.ndarray:
+    return _normalize(frames, IMAGENET_MEAN, IMAGENET_STD)
+
+
+def video_normalize(frames: np.ndarray) -> np.ndarray:
+    return _normalize(frames, VIDEO_MEAN, VIDEO_STD)
+
+
+def prepare_video(video: np.ndarray, size: int,
+                  kind: str) -> np.ndarray:
+    """(T, H, W, 3) uint8 → (T, h, w, 3) float32 ready for the extractor."""
+    resized = np.stack([resize_shorter_side(f, size) for f in video])
+    if kind == "google":
+        return imagenet_normalize(resized)
+    if kind == "r3d18":
+        return video_normalize(resized)
+    raise ValueError(kind)
