@@ -26,8 +26,10 @@ import numpy as np
 
 try:  # optional C++ fast path
     from vidsum_tpu.native import calc_scatters_native as _calc_scatters_native
+    from vidsum_tpu.native import cpd_dp_native as _cpd_dp_native
 except Exception:  # pragma: no cover
     _calc_scatters_native = None
+    _cpd_dp_native = None
 
 _HUGE_INIT = 1e101   # "untouched" sentinel (cpd_nonlin.py:62)
 _HUGE = 1e100        # "no valid split" sentinel (cpd_nonlin.py:72)
@@ -70,6 +72,11 @@ def cpd_nonlin(K: np.ndarray, ncp: int, lmin: int = 1, lmax: int = 100000,
     assert lmax >= lmin >= 1
 
     J = calc_scatters(K) if scatters is None else scatters
+
+    if _cpd_dp_native is not None:
+        cps, scores = _cpd_dp_native(np.asarray(J, np.float64), m,
+                                     lmin=lmin, lmax=lmax)
+        return (cps if backtrack else np.zeros(m, dtype=int)), scores
 
     I = _HUGE_INIT * np.ones((m + 1, n + 1))
     I[0, lmin:lmax] = J[0, lmin - 1:lmax - 1]
