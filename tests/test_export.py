@@ -1,0 +1,82 @@
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vidsum_tpu.config import Config, DataConfig, ModelConfig
+from vidsum_tpu.data import PATH, TSDataset
+from vidsum_tpu.data.synthetic import make_synthetic_h5
+from vidsum_tpu.export.attention import (
+    collect_attention_weights, save_attention_weights,
+)
+from vidsum_tpu.export.summary_json import write_summary_json
+from vidsum_tpu.models import init_simnet
+from vidsum_tpu.ops.legacy_eval import f1_score
+from vidsum_tpu.train.steps import make_eval_forward
+from vidsum_tpu.utils.profiling import StepTimer, trace
+
+MODEL = ModelConfig(d_model=32, num_heads=4, num_layers=2, dropout=0.0,
+                    max_len=256)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("exp")
+    make_synthetic_h5(str(root / PATH["tvsum"]), n_videos=3, seed=21)
+    cfg = Config(model=MODEL, data=DataConfig(root=str(root)))
+    val = TSDataset(str(root), "tvsum", "tvsum", split="val")
+    params = init_simnet(jax.random.PRNGKey(0), MODEL)
+    return cfg, val, params, str(root)
+
+
+def test_summary_json_schema(setup, tmp_path):
+    cfg, val, params, _ = setup
+    fwd = make_eval_forward(MODEL)
+    path = str(tmp_path / "summary.json")
+    result = write_summary_json(fwd, params, val, cfg, path)
+    with open(path) as f:
+        loaded = json.load(f)
+    assert loaded == {k: list(v) for k, v in result.items()}
+    assert set(loaded) == {"video_0", "video_1", "video_2"}
+    # selected frames are ints within the video
+    for i, frames in enumerate(loaded.values()):
+        assert all(isinstance(x, int) for x in frames)
+        assert not frames or max(frames) < val.user_summaries[i].n_frames
+
+
+def test_attention_export(setup, tmp_path):
+    cfg, val, params, _ = setup
+    maps = collect_attention_weights(params, val, cfg)
+    assert set(maps) == {"video_0", "video_1", "video_2"}
+    n0 = val[0][0].shape[0]
+    assert maps["video_0"].shape == (2, 4, n0, n0)
+    np.testing.assert_allclose(maps["video_0"].sum(-1), 1.0, rtol=1e-4)
+    path = str(tmp_path / "weights.npz")
+    save_attention_weights(params, val, cfg, path)
+    assert set(np.load(path).files) == set(maps)
+
+
+def test_legacy_f1_score(setup, tmp_path):
+    cfg, val, params, root = setup
+    # the synthetic file doubles as the eccv16-named file for this test
+    import shutil
+    from vidsum_tpu.data.paths import ECCV16_PATH
+    shutil.copy(os.path.join(root, PATH["tvsum"]),
+                os.path.join(root, ECCV16_PATH["tvsum"]))
+    scores = {u.name: np.asarray(val[i][1])
+              for i, u in enumerate(val.user_summaries)}
+    f = f1_score(scores, root, "tvsum")
+    assert 0.0 <= f <= 100.0
+
+
+def test_step_timer_and_trace(tmp_path):
+    timer = StepTimer()
+    for _ in range(5):
+        with timer:
+            pass
+    s = timer.summary()
+    assert s["steps"] == 5 and s["mean_s"] >= 0
+    with trace(None):  # no-op path
+        pass

@@ -87,9 +87,13 @@ def _val_epoch(fwd, params, dataset, cfg):
 
 def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
              workdir: str = ".",
-             export_summary: bool = True) -> FinetuneResult:
+             export_summary: bool = True,
+             profile_dir: Optional[str] = None) -> FinetuneResult:
     """Run the full 5-fold finetune + eval protocol. Returns fold-averaged
-    max-over-epoch metrics (reference train.py:98-108)."""
+    max-over-epoch metrics (reference train.py:98-108). With ``profile_dir``
+    the first epoch of the first fold is traced via jax.profiler."""
+    from vidsum_tpu.utils.profiling import trace
+
     avg_f, avg_k, avg_s = AverageMeter(), AverageMeter(), AverageMeter()
     per_split = []
 
@@ -132,8 +136,10 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
         fs, ks, ss = [], [], []
         for epoch in range(cfg.train.max_epoch):
             t0 = time.time()
-            params, opt_state, train_loss, rng_jax = _train_epoch(
-                step_fn, params, opt_state, train_set, cfg, rng_np, rng_jax)
+            with trace(profile_dir if split_idx == 0 and epoch == 0 else None):
+                params, opt_state, train_loss, rng_jax = _train_epoch(
+                    step_fn, params, opt_state, train_set, cfg, rng_np,
+                    rng_jax)
             val_loss, f, k, s = _val_epoch(fwd, params, val_set, cfg)
             fs.append(f)
             if not (np.isnan(k) or np.isnan(s)):
