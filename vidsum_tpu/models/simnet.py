@@ -124,7 +124,7 @@ def _dropout(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarr
 
 def _attention(p: Params, x: jnp.ndarray, pad_mask, cfg: ModelConfig,
                rng, deterministic: bool, return_weights: bool,
-               attn_impl: str):
+               attn_impl: str, attn_fn=None):
     """Multi-head self-attention (reference: simnet.py:117-164)."""
     B, N, _ = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
@@ -134,7 +134,10 @@ def _attention(p: Params, x: jnp.ndarray, pad_mask, cfg: ModelConfig,
     v = _linear(p["v"], x).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
 
     weights = None
-    if attn_impl == "pallas" and not return_weights and (
+    if attn_fn is not None:
+        # caller-supplied attention (e.g. sequence-parallel ring attention)
+        out = attn_fn(q, k, v, pad_mask)
+    elif attn_impl == "pallas" and not return_weights and (
             deterministic or cfg.dropout == 0.0):
         from vidsum_tpu.ops.attention import flash_attention
         out = flash_attention(q, k, v, pad_mask, scale=cfg.attn_scale)
@@ -165,7 +168,7 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
                  pad_mask: Optional[jnp.ndarray] = None, *,
                  rng=None, deterministic: bool = True,
                  model_score: bool = False, return_attn: bool = False,
-                 attn_impl: str = "xla"):
+                 attn_impl: str = "xla", attn_fn=None, pos_offset=None):
     """Run the scorer.
 
     :param x: (B, N, 1024) frame features.
@@ -173,6 +176,10 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
     :param rng: PRNG key, required when ``deterministic=False``.
     :param attn_impl: 'xla' (dense, fused by XLA) or 'pallas' (fused
         flash-attention kernel; inference/no-attn-dropout path).
+    :param attn_fn: optional override ``(q, k, v, pad_mask) -> out`` for the
+        attention op (used by the sequence-parallel ring forward).
+    :param pos_offset: optional scalar global position of ``x[:, 0]`` for the
+        positional encoding (nonzero when the sequence axis is sharded).
     :returns: ``(scores, hidden)`` — (B, N(+1 if cls), num_classes) logits and
         the final hidden states; with ``return_attn`` also a list of per-layer
         attention maps. ``model_score`` mirrors the reference's flag (its dead
@@ -190,7 +197,12 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
     h = _linear(params["embed"], x)
     if cfg.use_pos:
         pe = positional_encoding_table(max(cfg.max_len, N), cfg.d_model)
-        h = h + pe[None, :N].astype(compute_dtype)
+        if pos_offset is not None:
+            pe = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(pe), pos_offset, N, axis=0)
+        else:
+            pe = pe[:N]
+        h = h + pe[None].astype(compute_dtype)
         if not deterministic and cfg.pos_dropout > 0.0:
             rng, sub = jax.random.split(rng)
             h = _dropout(h, cfg.pos_dropout, sub, deterministic)
@@ -209,7 +221,7 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
         else:
             r_attn = r_d1 = r_mlp = r_d2 = None
         sa, w = _attention(block["attn"], h, pad_mask, cfg, r_attn,
-                           deterministic, return_attn, attn_impl)
+                           deterministic, return_attn, attn_impl, attn_fn)
         h = _layernorm(block["ln1"], _dropout(sa, cfg.dropout, r_d1,
                                               deterministic) + h)
         ff = _mlp(block["mlp"], h, cfg, r_mlp, deterministic)
