@@ -135,3 +135,51 @@ def test_rng_required_when_training(params):
     with pytest.raises(ValueError):
         simnet_apply(params, CFG, jnp.ones((1, 4, CFG.in_features)),
                      deterministic=False)
+
+
+def test_torch_checkpoint_conversion():
+    """A reference-format torch state dict converts into a pytree whose
+    forward matches the torch forward (eval mode) numerically."""
+    import torch
+    from tests.torch_mirrors import ScorerMirror
+    from vidsum_tpu.models.torch_convert import simnet_from_torch_state
+
+    torch.manual_seed(0)
+    mirror = ScorerMirror(d_model=64, num_heads=4, num_layers=2).eval()
+    state = {k: v.numpy() for k, v in mirror.state_dict().items()
+             if not k.endswith("pe")}
+    params = simnet_from_torch_state(state)
+
+    rng = np.random.default_rng(50)
+    x = torch.tensor(rng.normal(size=(2, 20, 1024)), dtype=torch.float32)
+    mask = torch.zeros(2, 20, dtype=torch.bool)
+    mask[1, 15:] = True
+    with torch.no_grad():
+        want_scores, want_hidden = mirror(x, mask)
+
+    got_scores, got_hidden = simnet_apply(
+        params, CFG, jnp.asarray(x.numpy()), jnp.asarray(mask.numpy()))
+    np.testing.assert_allclose(np.asarray(got_scores), want_scores.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_hidden), want_hidden.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pretrain_checkpoint_conversion():
+    from vidsum_tpu.models.pretrain import init_pretrain_model
+    from vidsum_tpu.models.torch_convert import pretrain_model_from_torch_state
+    import torch
+    from tests.torch_mirrors import ScorerMirror
+
+    torch.manual_seed(1)
+    mirror = ScorerMirror(d_model=64, num_heads=4, num_layers=2).eval()
+    vt = __import__("torch").nn.Linear(64, 512)
+    state = {f"encoder.{k}": v.numpy() for k, v in mirror.state_dict().items()
+             if not k.endswith("pe")}
+    state.update({f"video_transform.{k}": v.numpy()
+                  for k, v in vt.state_dict().items()})
+    params = pretrain_model_from_torch_state(state)
+    like = init_pretrain_model(jax.random.PRNGKey(0), CFG)
+    got = jax.tree_util.tree_structure(params)
+    want = jax.tree_util.tree_structure(like)
+    assert got == want

@@ -1,0 +1,45 @@
+"""Raw-video → summary pipeline (single XLA program for the compute path)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vidsum_tpu.config import ModelConfig
+from vidsum_tpu.models import init_simnet
+from vidsum_tpu.pipeline import summarize_video
+from vidsum_tpu.preprocess.googlenet import init_googlenet
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (96, 64))
+    if not w.isOpened():
+        pytest.skip("cv2.VideoWriter unavailable")
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        base = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        for _ in range(40):
+            noise = rng.integers(-8, 8, base.shape)
+            w.write(np.clip(base.astype(int) + noise, 0, 255).astype(np.uint8))
+    w.release()
+    return path
+
+
+def test_summarize_video_end_to_end(video_path):
+    cfg = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.0,
+                      max_len=256)
+    scorer = init_simnet(jax.random.PRNGKey(0), cfg)
+    google = init_googlenet(jax.random.PRNGKey(1))
+    out = summarize_video(video_path, scorer, cfg, google, fps=2, size=64)
+    assert out.n_frames == 120
+    assert out.summary.shape == (120,)
+    assert set(np.unique(out.summary)).issubset({0, 1})
+    assert out.summary.sum() <= int(120 * 0.15)
+    assert out.scores.shape == out.picks.shape
+    assert np.isfinite(out.scores).all()
+    assert out.change_points[0, 0] == 0
+    assert out.change_points[-1, 1] == 119

@@ -125,3 +125,81 @@ def randomize_bn_stats(model, seed=0):
             with torch.no_grad():
                 m.weight.copy_(torch.rand(m.num_features, generator=g) + 0.5)
                 m.bias.copy_(torch.randn(m.num_features, generator=g) * 0.1)
+
+
+class ScorerAttention(nn.Module):
+    """Reference-semantics MHA: separate q/k/v, scale d_model**-0.5,
+    key-mask -inf fill, weight dropout, output projection."""
+
+    def __init__(self, d_model, num_heads, dropout):
+        super().__init__()
+        self.h = num_heads
+        self.scale = d_model ** -0.5
+        self.q = nn.Linear(d_model, d_model)
+        self.k = nn.Linear(d_model, d_model)
+        self.v = nn.Linear(d_model, d_model)
+        self.dropout = nn.Dropout(dropout)
+        self.feature_projection = nn.Linear(d_model, d_model)
+
+    def forward(self, x, mask=None):
+        B, N, D = x.shape
+        q = self.q(x).view(B, N, self.h, -1).transpose(1, 2)
+        k = self.k(x).view(B, N, self.h, -1).transpose(1, 2)
+        v = self.v(x).view(B, N, self.h, -1).transpose(1, 2)
+        s = q @ k.transpose(2, 3) * self.scale
+        if mask is not None:
+            s = s.masked_fill(mask[:, None, None, :], float("-inf"))
+        w = self.dropout(torch.softmax(s, dim=3))
+        out = (w @ v).transpose(1, 2).reshape(B, N, D)
+        return self.feature_projection(out)
+
+
+class ScorerBlock(nn.Module):
+    """Post-LN transformer block with reference naming (sa/mlp/norm1/norm2)."""
+
+    def __init__(self, d_model, num_heads, dropout):
+        super().__init__()
+        self.sa = ScorerAttention(d_model, num_heads, dropout)
+        self.mlp = nn.Sequential()
+        self.mlp.fc1 = nn.Linear(d_model, 4 * d_model)
+        self.mlp.fc2 = nn.Linear(4 * d_model, d_model)
+        self.norm1 = nn.LayerNorm(d_model)
+        self.norm2 = nn.LayerNorm(d_model)
+        self.drop = nn.Dropout(dropout)
+
+    def forward(self, x, mask=None):
+        x = self.norm1(self.drop(self.sa(x, mask)) + x)
+        h = self.mlp.fc2(self.drop(torch.relu(self.mlp.fc1(x))))
+        return self.norm2(self.drop(h) + x)
+
+
+class ScorerMirror(nn.Module):
+    """Reference-keyed SimNet mirror (embedding_layer.feature_transform,
+    encoder.module_list.N, final_layer) for checkpoint-converter tests."""
+
+    def __init__(self, d_model=64, num_heads=4, num_layers=2, dropout=0.1,
+                 max_len=256, in_features=1024):
+        super().__init__()
+        import math as _math
+        self.embedding_layer = nn.Module()
+        self.embedding_layer.feature_transform = nn.Linear(in_features,
+                                                           d_model)
+        pos = torch.arange(max_len).unsqueeze(1)
+        ang = torch.exp(-torch.arange(0, d_model, 2)
+                        * _math.log(10000.0) / d_model)
+        pe = torch.zeros(max_len, d_model)
+        pe[:, 0::2] = torch.sin(pos * ang)
+        pe[:, 1::2] = torch.cos(pos * ang)
+        self.register_buffer("pe", pe)
+        self.encoder = nn.Module()
+        self.encoder.module_list = nn.ModuleList(
+            [ScorerBlock(d_model, num_heads, dropout)
+             for _ in range(num_layers)])
+        self.final_layer = nn.Linear(d_model, 1)
+
+    def forward(self, x, mask=None):
+        h = self.embedding_layer.feature_transform(x)
+        h = h + self.pe[: h.shape[1]].unsqueeze(0)
+        for block in self.encoder.module_list:
+            h = block(h, mask)
+        return self.final_layer(h), h
