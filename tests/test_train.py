@@ -166,3 +166,71 @@ def test_cli_pretrain_smoke(tmp_path):
           "--num_layers", "1", "--batch_size", "2", "--epochs", "1",
           "--length_bucket", "64", "--save", str(tmp_path)])
     assert os.path.exists(tmp_path / "pretrain.ckpt")
+
+
+def test_finetune_resume(data_root, tmp_path):
+    """Interrupt-and-resume: a resumed run continues from the saved epoch
+    with optimizer state intact (no reference analogue: model_mae.pth is
+    weight-only)."""
+    splits = [{"train_keys": [f"x/video_{i}" for i in range(4)],
+               "test_keys": ["x/video_4"]}]
+    metrics_path = str(tmp_path / "metrics.jsonl")
+
+    cfg2 = tiny_config(data_root)
+    finetune(cfg2, splits, workdir=str(tmp_path), export_summary=False,
+             metrics_path=metrics_path)
+    assert os.path.exists(tmp_path / "train_state.ckpt")
+
+    cfg4 = tiny_config(data_root)
+    cfg4 = Config(model=cfg4.model, data=cfg4.data, eval=cfg4.eval,
+                  train=dataclasses.replace(cfg4.train, max_epoch=4))
+    result = finetune(cfg4, splits, workdir=str(tmp_path),
+                      export_summary=False, resume=True,
+                      metrics_path=metrics_path)
+    assert np.isfinite(result.fscore)
+    with open(metrics_path) as f:
+        records = [json.loads(l) for l in f if l.strip()]
+    epochs = [r["epoch"] for r in records if "epoch" in r]
+    # first run: epochs 0,1; resumed run continues at 2,3 (no repeats)
+    assert epochs == [0, 1, 2, 3]
+
+
+def test_finetune_augmented_mix(tmp_path):
+    """Augmented/transfer config: '+'-joined datasets train together, split
+    keys restrict only the experiment dataset (BASELINE config 3)."""
+    root = str(tmp_path / "aug")
+    os.makedirs(root)
+    from vidsum_tpu.data import PATH as PATH_MAP
+    for i, name in enumerate(["tvsum", "summe", "ovp", "youtube"]):
+        make_synthetic_h5(os.path.join(root, PATH_MAP[name]), n_videos=3,
+                          seed=30 + i)
+    cfg = Config(
+        model=TINY_MODEL,
+        data=DataConfig(root=root, ex_dataset="tvsum",
+                        datasets="tvsum+summe+ovp+youtube",
+                        length_bucket=128),
+        train=TrainConfig(lr=1e-3, batch_size=4, max_epoch=1),
+    )
+    splits = [{"train_keys": ["x/video_0", "x/video_1"],
+               "test_keys": ["x/video_2"]}]
+    result = finetune(cfg, splits, workdir=str(tmp_path),
+                      export_summary=False)
+    assert np.isfinite(result.fscore)
+
+
+def test_pretrain_dataset_ready(tmp_path):
+    """PreTrainDatasetReady: h5 features + per-key video reps."""
+    from vidsum_tpu.data import PATH as PATH_MAP
+    from vidsum_tpu.data.datasets import PreTrainDatasetReady
+    root = str(tmp_path / "ready")
+    make_synthetic_h5(os.path.join(root, PATH_MAP["tvsum"]), n_videos=3,
+                      seed=44)
+    rep_dir = os.path.join(root, "video", "tvsum")
+    os.makedirs(rep_dir)
+    for i in range(3):
+        np.save(os.path.join(rep_dir, f"video_{i}.npy"),
+                np.random.default_rng(i).normal(size=512).astype(np.float32))
+    ds = PreTrainDatasetReady(root, "tvsum")
+    assert len(ds) == 3
+    feats, rep = ds[0]
+    assert feats.shape[1] == 1024 and rep.shape == (512,)

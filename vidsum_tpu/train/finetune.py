@@ -88,20 +88,47 @@ def _val_epoch(fwd, params, dataset, cfg):
 def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
              workdir: str = ".",
              export_summary: bool = True,
-             profile_dir: Optional[str] = None) -> FinetuneResult:
+             profile_dir: Optional[str] = None,
+             resume: bool = False,
+             metrics_path: Optional[str] = None) -> FinetuneResult:
     """Run the full 5-fold finetune + eval protocol. Returns fold-averaged
-    max-over-epoch metrics (reference train.py:98-108). With ``profile_dir``
-    the first epoch of the first fold is traced via jax.profiler."""
+    max-over-epoch metrics (reference train.py:98-108).
+
+    - ``profile_dir``: trace the first epoch of the first fold (jax.profiler).
+    - ``resume``: restart from ``train_state.ckpt`` (full state: params,
+      optimizer, epoch, per-fold metric history — unlike the reference's
+      weight-only ``model_mae.pth``, which cannot resume, train.py:76,95).
+    - ``metrics_path``: append one JSON line per epoch.
+    """
+    from vidsum_tpu.utils.metrics_log import MetricsLogger
     from vidsum_tpu.utils.profiling import trace
 
+    metrics = MetricsLogger(metrics_path)
+    state_path = os.path.join(workdir, "train_state.ckpt")
+    resume_meta = None
+    if resume and os.path.exists(state_path + ".meta.json"):
+        import json
+        with open(state_path + ".meta.json") as f:
+            resume_meta = json.load(f)
+        logger.info("resuming from split %d epoch %d", resume_meta["split"],
+                    resume_meta["epoch"] + 1)
+
     avg_f, avg_k, avg_s = AverageMeter(), AverageMeter(), AverageMeter()
-    per_split = []
+    per_split = list(resume_meta["per_split"]) if resume_meta else []
+    for sb in per_split:
+        avg_f.update(sb["fscore"], 1)
+        if not np.isnan(sb["kendall_tau"]):
+            avg_k.update(sb["kendall_tau"], 1)
+            avg_s.update(sb["spearman_rho"], 1)
 
     optimizer = make_optimizer(cfg.train.lr, cfg.train.weight_decay)
     step_fn = make_finetune_step(cfg.model, optimizer)
     fwd = make_eval_forward(cfg.model)
 
+    start_split = resume_meta["split"] if resume_meta else 0
     for split_idx, split in enumerate(splits):
+        if split_idx < start_split:
+            continue
         logger.info("Split %d", split_idx + 1)
         rng_jax = jax.random.PRNGKey(cfg.train.seed)
         rng_np = np.random.default_rng(cfg.train.seed)
@@ -134,7 +161,17 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
                                os.path.join(workdir, "summary.json"))
 
         fs, ks, ss = [], [], []
-        for epoch in range(cfg.train.max_epoch):
+        start_epoch = 0
+        if resume_meta and split_idx == resume_meta["split"]:
+            state = {"params": params, "opt_state": opt_state}
+            state, _ = load_checkpoint(state_path, state)
+            params, opt_state = state["params"], state["opt_state"]
+            fs = list(resume_meta["fs"])
+            ks = list(resume_meta["ks"])
+            ss = list(resume_meta["ss"])
+            start_epoch = resume_meta["epoch"] + 1
+            resume_meta = None
+        for epoch in range(start_epoch, cfg.train.max_epoch):
             t0 = time.time()
             with trace(profile_dir if split_idx == 0 and epoch == 0 else None):
                 params, opt_state, train_loss, rng_jax = _train_epoch(
@@ -148,8 +185,15 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             logger.info("Epoch %d: train %.4f val %.4f F %.2f τ %.4f ρ %.4f "
                         "(%.1fs)", epoch, train_loss, val_loss, f, k, s,
                         time.time() - t0)
+            metrics.log({"split": split_idx, "epoch": epoch,
+                         "train_loss": train_loss, "val_loss": val_loss,
+                         "fscore": f, "kendall_tau": k, "spearman_rho": s})
             save_checkpoint(save_path, params,
                             meta={"epoch": epoch, "split": split_idx})
+            save_checkpoint(
+                state_path, {"params": params, "opt_state": opt_state},
+                meta={"epoch": epoch, "split": split_idx,
+                      "per_split": per_split, "fs": fs, "ks": ks, "ss": ss})
 
         split_best = {"fscore": max(fs), "kendall_tau": max(ks) if ks else float("nan"),
                       "spearman_rho": max(ss) if ss else float("nan")}
@@ -165,4 +209,8 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
                             per_split)
     logger.info("Total fscore: %.4f  τ: %.4f  ρ: %.4f", result.fscore,
                 result.kendall_tau, result.spearman_rho)
+    metrics.log({"final_fscore": result.fscore,
+                 "final_kendall_tau": result.kendall_tau,
+                 "final_spearman_rho": result.spearman_rho})
+    metrics.close()
     return result
