@@ -214,8 +214,15 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
             pad_mask = jnp.concatenate(
                 [jnp.zeros((B, 1), dtype=bool), pad_mask], axis=1)
 
+    use_fused_block = (attn_impl == "pallas_block" and not return_attn
+                       and (deterministic or cfg.dropout == 0.0))
     attn_maps: List[jnp.ndarray] = []
     for block in params["blocks"]:
+        if use_fused_block:
+            from vidsum_tpu.ops.block_kernel import fused_encoder_block
+            h = fused_encoder_block(block, h, pad_mask, cfg.num_heads,
+                                    cfg.attn_scale)
+            continue
         if rng is not None:
             rng, r_attn, r_d1, r_mlp, r_d2 = jax.random.split(rng, 5)
         else:

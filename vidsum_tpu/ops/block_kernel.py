@@ -1,0 +1,164 @@
+"""Fused encoder-block Pallas kernel: attention + projection + post-LN
+residual + MLP + post-LN residual, all in VMEM.
+
+The north star calls for the scorer to become "a fused Pallas attention+MLP
+kernel": one grid cell per batch element keeps the whole layer's working set
+on-chip — x, K, V, every weight matrix, and the streaming query tiles — so a
+full encoder block (reference: ``src/model/simnet.py:86-114``) reads x from
+HBM once and writes the block output once. Between those two transfers live
+eight MXU matmuls (QKV+proj per head group, fc1/fc2) and the VPU softmax +
+two LayerNorms that XLA would otherwise round-trip through HBM at layer
+boundaries.
+
+Inference path (dropout-free; training uses the XLA path where dropout RNG
+lives). Accumulation is fp32 throughout; bf16 inputs halve the VMEM
+footprint and are the intended production dtype. Sequence lengths must be
+multiples of the 128-wide query tile (the collate buckets guarantee it).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_Q = 128
+LN_EPS = 1e-5
+
+
+def _layernorm_f32(x, scale, bias):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def _block_kernel(x_ref, mask_ref,
+                  wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                  wp_ref, bp_ref, ln1s_ref, ln1b_ref,
+                  wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+                  ln2s_ref, ln2b_ref, o_ref, *,
+                  num_heads: int, scale: float, n_q_tiles: int):
+    x = x_ref[0]                              # (N, d)
+    key_mask = mask_ref[0] != 0               # (1, N)
+    N, d = x.shape
+    Dh = d // num_heads
+
+    # K/V for the whole sequence, resident in VMEM
+    k = jnp.dot(x, wk_ref[...], preferred_element_type=jnp.float32) + bk_ref[...]
+    v = jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32) + bv_ref[...]
+    k = k.astype(x.dtype)
+    v = v.astype(x.dtype)
+
+    def tile(i, _):
+        xq = x_ref[0, pl.ds(i * TILE_Q, TILE_Q), :]                # (T, d)
+        q = (jnp.dot(xq, wq_ref[...], preferred_element_type=jnp.float32)
+             + bq_ref[...])                                         # (T, d) f32
+
+        # attention per head group; concatenate along the feature axis
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            s = jax.lax.dot_general(
+                q[:, sl].astype(x.dtype), k[:, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale         # (T, N)
+            s = jnp.where(key_mask, -jnp.inf, s)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(x.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))                # (T, Dh)
+        attn = jnp.concatenate(outs, axis=1)                        # (T, d) f32
+
+        proj = (jnp.dot(attn.astype(x.dtype), wp_ref[...],
+                        preferred_element_type=jnp.float32) + bp_ref[...])
+        h1 = _layernorm_f32(proj + xq.astype(jnp.float32),
+                            ln1s_ref[...], ln1b_ref[...])           # (T, d)
+
+        m1 = jnp.maximum(
+            jnp.dot(h1.astype(x.dtype), wf1_ref[...],
+                    preferred_element_type=jnp.float32) + bf1_ref[...], 0.0)
+        m2 = (jnp.dot(m1.astype(x.dtype), wf2_ref[...],
+                      preferred_element_type=jnp.float32) + bf2_ref[...])
+        out = _layernorm_f32(m2 + h1, ln2s_ref[...], ln2b_ref[...])
+        o_ref[0, pl.ds(i * TILE_Q, TILE_Q), :] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_q_tiles, tile, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "scale", "interpret"))
+def _fused_block(x, pad_mask, flat_w, num_heads: int, scale: float,
+                 interpret: bool):
+    B, N, d = x.shape
+    n_q_tiles = N // TILE_Q
+
+    full = lambda b: (0, 0)
+    full1 = lambda b: (0,)
+    w_specs = []
+    for w in flat_w:
+        if w.ndim == 2:
+            w_specs.append(pl.BlockSpec(w.shape, full,
+                                        memory_space=pltpu.VMEM))
+        else:
+            w_specs.append(pl.BlockSpec(w.shape, full1,
+                                        memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_block_kernel, num_heads=num_heads,
+                               scale=scale, n_q_tiles=n_q_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=B * N * (8 * d * d + 4 * N * d + 16 * d * d),
+            bytes_accessed=2 * B * N * d * x.dtype.itemsize,
+            transcendentals=B * N * N,
+        ),
+        interpret=interpret,
+    )(x, pad_mask, *flat_w)
+
+
+def fused_encoder_block(block_params: Dict[str, Any], x: jnp.ndarray,
+                        pad_mask, num_heads: int, scale: float) -> jnp.ndarray:
+    """Run one post-LN encoder block fused on-chip.
+
+    ``block_params`` is a SimNet block dict (attn.q/k/v/proj, mlp.fc1/fc2,
+    ln1, ln2); x (B, N, d); pad_mask (B, N) bool or None. N must be a
+    multiple of 128.
+    """
+    B, N, d = x.shape
+    if N % TILE_Q != 0:
+        raise ValueError(f"N={N} must be a multiple of {TILE_Q}")
+    if pad_mask is None:
+        pad_mask = jnp.zeros((B, N), bool)
+    mask = pad_mask.astype(jnp.int8)[:, None, :]
+
+    a, m = block_params["attn"], block_params["mlp"]
+    dt = x.dtype
+    flat_w = tuple(
+        w.astype(dt) if w.ndim == 2 else w.astype(jnp.float32)
+        for w in (
+            a["q"]["w"], a["q"]["b"], a["k"]["w"], a["k"]["b"],
+            a["v"]["w"], a["v"]["b"], a["proj"]["w"], a["proj"]["b"],
+            block_params["ln1"]["scale"], block_params["ln1"]["bias"],
+            m["fc1"]["w"], m["fc1"]["b"], m["fc2"]["w"], m["fc2"]["b"],
+            block_params["ln2"]["scale"], block_params["ln2"]["bias"],
+        ))
+    interpret = jax.default_backend() != "tpu"
+    return _fused_block(x, mask, flat_w, num_heads, scale, interpret)
