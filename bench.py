@@ -46,7 +46,7 @@ def main() -> None:
 
     def fwd(params, x):
         s, _ = simnet_apply(params, cfg, x, pad_mask, deterministic=True,
-                            attn_impl="pallas")
+                            attn_impl="pallas_block")
         return jax.nn.sigmoid(s[..., 0])
 
     @jax.jit
