@@ -1,0 +1,66 @@
+"""Golden bit-parity regression: the summary pipeline's selected frames on a
+fixed-seed fixture must never change (SURVEY.md §4 "golden/parity" and the
+BASELINE.json bit-for-bit north star). The golden file was generated from the
+oracle-verified implementation; any diff means shot-selection semantics
+drifted."""
+
+import json
+import os
+
+import numpy as np
+
+from vidsum_tpu.ops.summary import generate_summary
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data",
+                      "golden_selected_frames.json")
+
+
+def make_fixture():
+    rng = np.random.default_rng(123)
+    videos = []
+    for _ in range(8):
+        n_picks = int(rng.integers(40, 150))
+        step = int(rng.integers(10, 20))
+        picks = np.arange(n_picks) * step
+        n_frames = int(picks[-1] + rng.integers(1, step + 1))
+        scores = rng.random(n_picks).astype(np.float32)
+        n_shots = int(rng.integers(5, 15))
+        cuts = np.sort(rng.choice(np.arange(1, n_frames), n_shots - 1,
+                                  replace=False))
+        bounds = np.concatenate([[0], cuts, [n_frames]])
+        cp = np.stack([bounds[:-1], bounds[1:] - 1], axis=1)
+        videos.append((picks, n_frames, scores, cp))
+    return videos
+
+
+def test_selected_frames_bit_identical_to_golden():
+    videos = make_fixture()
+    summaries = generate_summary([v[3] for v in videos],
+                                 [v[2] for v in videos],
+                                 [v[1] for v in videos],
+                                 [v[0] for v in videos])
+    got = {f"video_{i}": np.nonzero(s)[0].tolist()
+           for i, s in enumerate(summaries)}
+    with open(GOLDEN) as f:
+        want = json.load(f)
+    assert got == want
+
+
+def test_golden_stable_under_native_toggle():
+    """NumPy and native knapsack paths must produce the same golden."""
+    import vidsum_tpu.ops.knapsack as kn
+    videos = make_fixture()
+    native = kn._knapsack_native
+    try:
+        kn._knapsack_native = None  # force the NumPy DP
+        summaries = generate_summary([v[3] for v in videos],
+                                     [v[2] for v in videos],
+                                     [v[1] for v in videos],
+                                     [v[0] for v in videos])
+    finally:
+        kn._knapsack_native = native
+    got = {f"video_{i}": np.nonzero(s)[0].tolist()
+           for i, s in enumerate(summaries)}
+    with open(GOLDEN) as f:
+        want = json.load(f)
+    assert got == want

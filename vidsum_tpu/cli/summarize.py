@@ -1,0 +1,83 @@
+"""Raw-video summarization CLI: one command from a video file to selected
+frames (the end-to-end pipeline, ``vidsum_tpu.pipeline``).
+
+Usage:
+    python -m vidsum_tpu.cli.summarize --video clip.mp4 \
+        --ckpt model_mae.ckpt [--torch_ckpt model_mae.pth] \
+        --google_weights googlenet.pth --out summary.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("vidsum_tpu summarize")
+    p.add_argument("--video", required=True)
+    p.add_argument("--ckpt", default=None,
+                   help="vidsum_tpu scorer checkpoint (msgpack)")
+    p.add_argument("--torch_ckpt", default=None,
+                   help="reference-trained SimNet .pth (converted on load)")
+    p.add_argument("--google_weights", default=None,
+                   help="torchvision googlenet state dict (.pth/.npz)")
+    p.add_argument("--d_model", type=int, default=256)
+    p.add_argument("--num_heads", type=int, default=4)
+    p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--fps", type=int, default=2)
+    p.add_argument("--budget", type=float, default=0.15)
+    p.add_argument("--out", default="summary.json")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
+                        level=logging.INFO)
+    import jax
+    import numpy as np
+
+    from vidsum_tpu.config import ModelConfig
+    from vidsum_tpu.models import init_simnet
+    from vidsum_tpu.pipeline import summarize_video
+    from vidsum_tpu.preprocess.extract import load_state_dict
+    from vidsum_tpu.preprocess.googlenet import (
+        googlenet_from_torch_state, init_googlenet,
+    )
+
+    cfg = ModelConfig(d_model=args.d_model, num_heads=args.num_heads,
+                      num_layers=args.num_layers)
+    scorer = init_simnet(jax.random.PRNGKey(0), cfg)
+    if args.torch_ckpt:
+        from vidsum_tpu.models.torch_convert import (
+            load_torch_checkpoint, simnet_from_torch_state,
+        )
+        scorer = simnet_from_torch_state(load_torch_checkpoint(args.torch_ckpt))
+    elif args.ckpt:
+        from vidsum_tpu.train.checkpoint import load_checkpoint
+        scorer, _ = load_checkpoint(args.ckpt, scorer)
+    else:
+        logging.warning("no checkpoint given — scoring with random weights")
+
+    if args.google_weights:
+        google = googlenet_from_torch_state(
+            load_state_dict(args.google_weights))
+    else:
+        logging.warning("no googlenet weights — features are random "
+                        "projections")
+        google = init_googlenet(jax.random.PRNGKey(1))
+
+    result = summarize_video(args.video, scorer, cfg, google, fps=args.fps,
+                             budget_ratio=args.budget)
+    selected = np.nonzero(result.summary)[0].tolist()
+    with open(args.out, "w") as f:
+        json.dump({"video": args.video, "n_frames": int(result.n_frames),
+                   "selected_frames": selected}, f)
+    logging.info("selected %d / %d frames -> %s", len(selected),
+                 result.n_frames, args.out)
+
+
+if __name__ == "__main__":
+    main()
