@@ -48,7 +48,11 @@ def test_selected_frames_bit_identical_to_golden():
 
 def test_golden_stable_under_native_toggle():
     """NumPy and native knapsack paths must produce the same golden."""
-    import vidsum_tpu.ops.knapsack as kn
+    import importlib
+
+    # the package re-exports the function under the same name, shadowing the
+    # submodule attribute — resolve the module explicitly
+    kn = importlib.import_module("vidsum_tpu.ops.knapsack")
     videos = make_fixture()
     native = kn._knapsack_native
     try:
