@@ -65,20 +65,39 @@ def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax):
     return params, opt_state, loss_avg.avg(), rng_jax
 
 
-def _val_epoch(fwd, params, dataset, cfg):
-    """Sigmoid scores per video → eval_metrics (reference train.py:134-152)."""
+def _val_epoch(fwd, params, dataset, cfg, val_batch: int = 8):
+    """Sigmoid scores per video → eval_metrics (reference train.py:134-152).
+
+    Videos are grouped by padded length bucket and scored in batches — one
+    device dispatch per group instead of one per video (mask invariance
+    guarantees per-video results are unchanged; tests/test_model.py).
+    """
+    from collections import defaultdict
+
+    from vidsum_tpu.data.collate import bucket_length
+
+    groups = defaultdict(list)
+    for i in range(len(dataset)):
+        n = dataset[i][0].shape[0]
+        groups[bucket_length(n, cfg.data.length_bucket)].append(i)
+
     score_dict, user_dict = {}, {}
     loss_avg = AverageMeter()
-    for i in range(len(dataset)):
-        feats, target, user = dataset[i]
-        n = feats.shape[0]
-        x, _, mask = pad_batch([feats], [target], pad_value=cfg.data.pad_value,
-                               bucket=cfg.data.length_bucket)
-        pred = fwd(params, jnp.asarray(x), jnp.asarray(mask))[0, :n]
-        pred = np.asarray(pred)
-        loss_avg.update(float(np.mean((pred - target) ** 2)), 1)
-        score_dict[user.name] = pred
-        user_dict[user.name] = user
+    for bucket in sorted(groups):
+        idxs = groups[bucket]
+        for start in range(0, len(idxs), val_batch):
+            chunk = idxs[start:start + val_batch]
+            items = [dataset[i] for i in chunk]
+            x, _, mask = pad_batch([it[0] for it in items],
+                                   [it[1] for it in items],
+                                   pad_value=cfg.data.pad_value,
+                                   bucket=cfg.data.length_bucket)
+            preds = np.asarray(fwd(params, jnp.asarray(x), jnp.asarray(mask)))
+            for row, (feats, target, user) in zip(preds, items):
+                pred = row[: feats.shape[0]]
+                loss_avg.update(float(np.mean((pred - target) ** 2)), 1)
+                score_dict[user.name] = pred
+                user_dict[user.name] = user
     f, k, s = eval_metrics(score_dict, user_dict,
                            eval_method=cfg.eval.eval_method,
                            budget_ratio=cfg.eval.budget_ratio)
