@@ -234,3 +234,21 @@ def test_pretrain_dataset_ready(tmp_path):
     assert len(ds) == 3
     feats, rep = ds[0]
     assert feats.shape[1] == 1024 and rep.shape == (512,)
+
+
+def test_cli_pretrain_from_h5(tmp_path):
+    """--from_h5 path: PreTrainDatasetReady feeding the pretrain CLI."""
+    from vidsum_tpu.data import PATH as PATH_MAP
+    root = str(tmp_path / "h5pt")
+    make_synthetic_h5(os.path.join(root, PATH_MAP["tvsum"]), n_videos=3,
+                      seed=55, min_picks=20, max_picks=40)
+    rep_dir = os.path.join(root, "video", "tvsum")
+    os.makedirs(rep_dir)
+    for i in range(3):
+        np.save(os.path.join(rep_dir, f"video_{i}.npy"),
+                np.random.default_rng(i).normal(size=512).astype(np.float32))
+    from vidsum_tpu.cli.pretrain import main
+    main(["--data", root, "--datasets", "tvsum", "--from_h5", "--d_model",
+          "32", "--num_heads", "4", "--num_layers", "1", "--batch_size", "2",
+          "--epochs", "1", "--length_bucket", "64", "--save", str(tmp_path)])
+    assert os.path.exists(tmp_path / "pretrain.ckpt")

@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--length_bucket", type=int, default=128)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from train_state.ckpt (full optimizer "
+                        "state; the reference cannot resume)")
+    p.add_argument("--metrics", type=str, default=None,
+                   help="append per-epoch JSONL records here")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="jax.profiler trace of the first epoch")
     return p
 
 
@@ -77,11 +84,16 @@ def main(argv=None) -> None:
     if args.split_path:
         splits = load_splits(args.split_path)
     elif args.dsnet_split:
+        # NB: the reference hardcodes splits_dsnet/tvsum.yaml regardless of
+        # --ex_dataset (train.py:208) — and that file actually contains SumMe
+        # keys. Here the split file follows the experiment dataset.
         splits = load_splits(builtin_split_path(args.ex_dataset))
     else:
         raise SystemExit("provide --dsnet_split or --split_path")
     cfg = config_from_args(args)
-    result = finetune(cfg, splits, workdir=args.workdir)
+    result = finetune(cfg, splits, workdir=args.workdir, resume=args.resume,
+                      metrics_path=args.metrics,
+                      profile_dir=args.profile_dir)
     print(json.dumps({"fscore": result.fscore,
                       "kendall_tau": result.kendall_tau,
                       "spearman_rho": result.spearman_rho}))

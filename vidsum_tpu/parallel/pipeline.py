@@ -42,6 +42,8 @@ def make_pp_forward(cfg: ModelConfig, mesh: Mesh, stage_axis: str = "stage"):
     if cfg.num_layers % n_stages:
         raise ValueError(f"{cfg.num_layers} layers not divisible by "
                          f"{n_stages} stages")
+    if cfg.use_cls:
+        raise ValueError("pipeline forward does not support CLS tokens")
     per_stage = cfg.num_layers // n_stages
 
     from vidsum_tpu.models.simnet import (

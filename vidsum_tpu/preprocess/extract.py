@@ -87,7 +87,8 @@ class FeatureExtractor:
 
 
 @functools.lru_cache(maxsize=2)
-def _default_extractor(kind: str, size_hint: int) -> FeatureExtractor:
+def _default_extractor(kind: str) -> FeatureExtractor:
+    """Process-wide extractor; weights via VIDSUM_*_WEIGHTS env vars."""
     weights = os.environ.get(
         "VIDSUM_GOOGLENET_WEIGHTS" if kind == "google"
         else "VIDSUM_R3D18_WEIGHTS")
@@ -96,9 +97,9 @@ def _default_extractor(kind: str, size_hint: int) -> FeatureExtractor:
 
 def get_google_net_features(video: np.ndarray, size: int = 224) -> np.ndarray:
     """Reference-compatible wrapper (feature_extraction.py:10-41)."""
-    return _default_extractor("google", size).frames(video, size)
+    return _default_extractor("google").frames(video, size)
 
 
 def get_video_feature(video: np.ndarray, size: int = 112) -> np.ndarray:
     """Reference-compatible wrapper (feature_extraction.py:45-76)."""
-    return _default_extractor("r3d18", size).clip(video, size)
+    return _default_extractor("r3d18").clip(video, size)
