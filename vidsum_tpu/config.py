@@ -97,6 +97,11 @@ class TrainConfig:
     # the reference unconditionally loads model_mae.pth before training
     # (train.py:76) and crashes if absent; we gate it behind a flag.
     warm_start_from_save: bool = False
+    # PRNG implementation for dropout streams. 'rbg' uses the TPU-native
+    # hardware generator (measured 1.7x faster train step than 'threefry2x32'
+    # at d256/B32/N512 — dropout masks dominate the RNG cost); bits differ
+    # from threefry but dropout streams carry no parity contract.
+    rng_impl: str = "rbg"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,6 +124,7 @@ class PretrainConfig:
     # frozen at init (pretrain.py:35-36). Reproduced when True.
     freeze_video_transform: bool = True
     seed: int = 1234
+    rng_impl: str = "rbg"  # see TrainConfig.rng_impl
 
 
 @dataclasses.dataclass(frozen=True)

@@ -149,9 +149,11 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
         if split_idx < start_split:
             continue
         logger.info("Split %d", split_idx + 1)
-        rng_jax = jax.random.PRNGKey(cfg.train.seed)
+        # init stays on the default PRNG (stable param values across rng_impl
+        # choices); the dropout stream uses the configured implementation
         rng_np = np.random.default_rng(cfg.train.seed)
-        rng_jax, init_key = jax.random.split(rng_jax)
+        _, init_key = jax.random.split(jax.random.PRNGKey(cfg.train.seed))
+        rng_jax = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
         params = init_simnet(init_key, cfg.model)
         opt_state = optimizer.init(params)
 

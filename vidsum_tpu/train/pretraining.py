@@ -42,9 +42,11 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
     optimizer = make_optimizer(schedule, pcfg.weight_decay)
     step_fn = make_pretrain_step(cfg.model, pcfg, optimizer)
 
-    rng_jax = jax.random.PRNGKey(pcfg.seed)
+    # init on the default PRNG (stable across rng_impl); dropout stream on
+    # the configured implementation (rbg is ~1.7x faster on TPU)
     rng_np = np.random.default_rng(pcfg.seed)
-    rng_jax, init_key = jax.random.split(rng_jax)
+    _, init_key = jax.random.split(jax.random.PRNGKey(pcfg.seed))
+    rng_jax = jax.random.key(pcfg.seed, impl=pcfg.rng_impl)
     params = init_pretrain_model(init_key, cfg.model)
     opt_state = optimizer.init(params)
     logger.info("number of videos: %d", len(dataset))
