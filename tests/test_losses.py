@@ -115,3 +115,59 @@ def test_pretrain_mask_blocks_padded_frames():
     # main loss is mask-invariant; center/repel means run over N, so they are
     # scaled by the frame count like in the reference — compare main only.
     assert abs(float(a[0]) - float(b[0])) < 1e-5
+
+
+def test_pretrain_losses_match_torch_semantics():
+    """The three pretrain losses computed with torch ops (reference
+    semantics: masked -inf softmax over frames, sharpening 0.4, entropy of
+    mixture+1e-9, off-diagonal cosine mean, softmax-vs-softmax CE) must equal
+    the JAX implementation on identical inputs."""
+    import torch
+
+    rng = np.random.default_rng(60)
+    B, N, D, R = 2, 7, 6, 5
+    scores_np = rng.normal(size=(B, N, 1)).astype(np.float32)
+    feats_np = rng.normal(size=(B, N, R)).astype(np.float32)
+    vid_np = rng.normal(size=(B, R)).astype(np.float32)
+    mask_np = np.zeros((B, N), bool)
+    mask_np[1, 5:] = True
+    t_sharp = 0.4
+
+    # torch-side computation
+    scores = torch.tensor(scores_np)
+    feats = torch.tensor(feats_np)
+    vid = torch.tensor(vid_np)
+    mask = torch.tensor(mask_np)
+
+    x = feats * (~mask).unsqueeze(2)
+    xn = x / (x.norm(dim=2, keepdim=True) + 1e-9)
+    sim = torch.matmul(xn, xn.transpose(1, 2))
+    sim = sim * (torch.eye(N) == 0).float().unsqueeze(0)
+    want_repel = sim.mean(dim=1).mean().item()
+
+    s = scores.masked_fill(mask.unsqueeze(2), float("-inf"))
+    mixture = torch.softmax(s / t_sharp, dim=1)
+    ent = (mixture + 1e-9) * torch.log(mixture + 1e-9)
+    ent = ent.masked_fill(mask.unsqueeze(2), 0.0)
+    want_center = ent.mean(dim=1).mean().item()
+
+    agg = torch.matmul(mixture.transpose(1, 2), feats).squeeze(1)
+    p1 = torch.softmax(agg, dim=1)
+    p2 = torch.softmax(vid, dim=1)
+    want_main = (-p2 * torch.log(p1)).mean().item()
+
+    # JAX-side
+    got_repel = float(repelling_loss(jnp.asarray(feats_np),
+                                     jnp.asarray(mask_np)))
+    sj = jnp.where(jnp.asarray(mask_np)[..., None], -jnp.inf,
+                   jnp.asarray(scores_np))
+    mixture_j = jax.nn.softmax(sj / t_sharp, axis=1)
+    got_center = float(entropy_centering(mixture_j + 1e-9,
+                                         jnp.asarray(mask_np)))
+    agg_j = jnp.einsum("bnc,bnd->bcd", mixture_j,
+                       jnp.asarray(feats_np)).squeeze(1)
+    got_main = float(soft_cross_entropy(agg_j, jnp.asarray(vid_np)))
+
+    assert abs(got_repel - want_repel) < 1e-5
+    assert abs(got_center - want_center) < 1e-5
+    assert abs(got_main - want_main) < 1e-5

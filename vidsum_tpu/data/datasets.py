@@ -29,7 +29,7 @@ from typing import List, Optional, Sequence
 import h5py
 import numpy as np
 
-from vidsum_tpu.data.paths import PATH, h5_name
+from vidsum_tpu.data.paths import h5_name
 from vidsum_tpu.data.splits import split_keys_to_names
 
 

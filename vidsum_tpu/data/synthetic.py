@@ -12,8 +12,6 @@ Dropbox; zero egress here).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import h5py
 import numpy as np
 

@@ -28,7 +28,7 @@ matmul path in bf16 (the TPU replacement for the reference's fp16 AMP).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

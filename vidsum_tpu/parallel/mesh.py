@@ -10,7 +10,7 @@ framework issues explicit NCCL-style calls.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -14,10 +14,7 @@ frames on a single GPU (``src/model/simnet.py:188,224``).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vidsum_tpu.config import ModelConfig

@@ -15,7 +15,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vidsum_tpu.config import ModelConfig, PretrainConfig
 from vidsum_tpu.models.pretrain import pretrain_apply

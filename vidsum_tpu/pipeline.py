@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Optional
+
 
 import numpy as np
 
@@ -55,7 +55,6 @@ def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
                     budget_ratio: float = 0.15,
                     pad_multiple: int = 64) -> VideoSummary:
     """Raw video file → binary summary."""
-    from vidsum_tpu.ops.segmentation import kts_seg  # noqa: F401 (doc link)
     from vidsum_tpu.preprocess.reduce_fps import reduce_fps
     from vidsum_tpu.preprocess.transforms import prepare_video
 

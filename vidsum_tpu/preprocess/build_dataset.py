@@ -20,7 +20,7 @@ from __future__ import annotations
 import glob
 import logging
 import os
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import h5py
 import numpy as np

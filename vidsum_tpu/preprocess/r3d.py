@@ -16,7 +16,7 @@ Architecture (torchvision VideoResNet with Conv3DSimple blocks):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ normalize + CNN forward run on device.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 # https://pytorch.org/hub/pytorch_vision_googlenet (feature_extraction.py:86)

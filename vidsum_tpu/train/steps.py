@@ -18,7 +18,7 @@ donated arguments keep params/opt-state in place in HBM.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ is importable AND explicitly requested."""
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Dict, Optional
 
