@@ -183,3 +183,17 @@ def test_pretrain_checkpoint_conversion():
     got = jax.tree_util.tree_structure(params)
     want = jax.tree_util.tree_structure(like)
     assert got == want
+
+
+def test_torch_checkpoint_roundtrip_export():
+    """pytree → reference-keyed state dict → pytree is the identity."""
+    from vidsum_tpu.models.torch_convert import (
+        simnet_from_torch_state, simnet_to_torch_state,
+    )
+    params = init_simnet(jax.random.PRNGKey(5), CFG)
+    state = simnet_to_torch_state(params)
+    assert "encoder.module_list.1.sa.q.weight" in state
+    restored = simnet_from_torch_state(state)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -252,3 +252,17 @@ def test_cli_pretrain_from_h5(tmp_path):
           "32", "--num_heads", "4", "--num_layers", "1", "--batch_size", "2",
           "--epochs", "1", "--length_bucket", "64", "--save", str(tmp_path)])
     assert os.path.exists(tmp_path / "pretrain.ckpt")
+
+
+def test_cli_evaluate(data_root, tmp_path, capsys):
+    """Standalone eval CLI on a saved checkpoint."""
+    from vidsum_tpu.train import save_checkpoint
+    params = init_simnet(jax.random.PRNGKey(0), TINY_MODEL)
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, params)
+    from vidsum_tpu.cli.evaluate import main
+    main(["--data", data_root, "--ex_dataset", "tvsum", "--ckpt", ckpt,
+          "--d_model", "32", "--num_heads", "4", "--num_layers", "1"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert {"val_loss", "fscore", "kendall_tau", "spearman_rho"} <= set(rec)

@@ -80,3 +80,35 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
     state = torch.load(path, map_location="cpu", weights_only=True)
     return {k: v.numpy() for k, v in state.items()}
+
+
+def simnet_to_torch_state(params: Params) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`simnet_from_torch_state`: export a param pytree as a
+    reference-keyed state dict (numpy values; pass through ``torch.save`` for
+    a ``.pth`` the reference's ``load_state_dict`` accepts), so models
+    trained here can flow back to reference tooling."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put_linear(prefix: str, p: Params) -> None:
+        out[f"{prefix}.weight"] = np.asarray(p["w"]).T
+        out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def put_ln(prefix: str, p: Params) -> None:
+        out[f"{prefix}.weight"] = np.asarray(p["scale"])
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    put_linear("embedding_layer.feature_transform", params["embed"])
+    put_linear("final_layer", params["head"])
+    for i, block in enumerate(params["blocks"]):
+        pfx = f"encoder.module_list.{i}"
+        put_linear(f"{pfx}.sa.q", block["attn"]["q"])
+        put_linear(f"{pfx}.sa.k", block["attn"]["k"])
+        put_linear(f"{pfx}.sa.v", block["attn"]["v"])
+        put_linear(f"{pfx}.sa.feature_projection", block["attn"]["proj"])
+        put_linear(f"{pfx}.mlp.fc1", block["mlp"]["fc1"])
+        put_linear(f"{pfx}.mlp.fc2", block["mlp"]["fc2"])
+        put_ln(f"{pfx}.norm1", block["ln1"])
+        put_ln(f"{pfx}.norm2", block["ln2"])
+    if "cls" in params:
+        out["embedding_layer.cls_token"] = np.asarray(params["cls"])
+    return out
