@@ -266,3 +266,47 @@ def test_cli_evaluate(data_root, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)
     assert {"val_loss", "fscore", "kendall_tau", "spearman_rho"} <= set(rec)
+
+
+def test_finetune_driver_with_mesh(data_root, tmp_path):
+    """The full finetune driver running dp x tp over the 8-device harness."""
+    from vidsum_tpu.config import MeshConfig
+    from vidsum_tpu.parallel import make_mesh
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    cfg = tiny_config(data_root)
+    cfg = Config(model=cfg.model, data=cfg.data, eval=cfg.eval,
+                 train=dataclasses.replace(cfg.train, batch_size=4,
+                                           max_epoch=1))
+    splits = [{"train_keys": [f"x/video_{i}" for i in range(4)],
+               "test_keys": ["x/video_4"]}]
+    result = finetune(cfg, splits, workdir=str(tmp_path),
+                      export_summary=False, mesh=mesh)
+    assert np.isfinite(result.fscore)
+
+
+def test_pretrain_driver_with_mesh(tmp_path):
+    from vidsum_tpu.config import MeshConfig
+    from vidsum_tpu.parallel import make_mesh
+    root = str(tmp_path / "ptm")
+    make_synthetic_pretrain_tree(root, n_videos=6, min_frames=30,
+                                 max_frames=60, seed=70)
+    cfg = Config(model=TINY_MODEL, data=DataConfig(root=root,
+                                                   length_bucket=64),
+                 pretrain=PretrainConfig(lr=1e-3, batch_size=4, epochs=1,
+                                         warmup_epochs=1,
+                                         scheduler_samples=8))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    out = pretrain(cfg, PreTrainDataset(root), workdir=str(tmp_path),
+                   mesh=mesh)
+    assert np.isfinite(out["history"]).all()
+
+
+def test_finetune_mesh_batch_divisibility(data_root, tmp_path):
+    from vidsum_tpu.config import MeshConfig
+    from vidsum_tpu.parallel import make_mesh
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    cfg = tiny_config(data_root)  # batch_size=2, not divisible by 8
+    with pytest.raises(ValueError):
+        finetune(cfg, [{"train_keys": ["x/video_0"],
+                        "test_keys": ["x/video_1"]}],
+                 workdir=str(tmp_path), export_summary=False, mesh=mesh)

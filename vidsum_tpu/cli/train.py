@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append per-epoch JSONL records here")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="jax.profiler trace of the first epoch")
+    p.add_argument("--dp", action="store_true",
+                   help="train dp(xtp) over all visible devices")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree within the mesh (with --dp)")
     return p
 
 
@@ -91,9 +95,14 @@ def main(argv=None) -> None:
     else:
         raise SystemExit("provide --dsnet_split or --split_path")
     cfg = config_from_args(args)
+    mesh = None
+    if args.dp:
+        from vidsum_tpu.config import MeshConfig
+        from vidsum_tpu.parallel import make_mesh
+        mesh = make_mesh(MeshConfig(data=-1, model=args.tp))
     result = finetune(cfg, splits, workdir=args.workdir, resume=args.resume,
                       metrics_path=args.metrics,
-                      profile_dir=args.profile_dir)
+                      profile_dir=args.profile_dir, mesh=mesh)
     print(json.dumps({"fscore": result.fscore,
                       "kendall_tau": result.kendall_tau,
                       "spearman_rho": result.spearman_rho}))

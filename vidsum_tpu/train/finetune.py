@@ -50,10 +50,12 @@ class FinetuneResult:
     per_split: List[Dict[str, float]]
 
 
-def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax):
+def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
+                 pad_to_batch: bool = False):
     loss_avg = AverageMeter()
     for batch_idx in make_batches(len(dataset), cfg.train.batch_size,
-                                  shuffle=True, rng=rng_np):
+                                  shuffle=True, rng=rng_np,
+                                  pad_to_batch=pad_to_batch):
         feats, tgts = zip(*[dataset[i] for i in batch_idx])
         x, t, mask = pad_batch(feats, tgts, pad_value=cfg.data.pad_value,
                                bucket=cfg.data.length_bucket)
@@ -109,7 +111,8 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
              export_summary: bool = True,
              profile_dir: Optional[str] = None,
              resume: bool = False,
-             metrics_path: Optional[str] = None) -> FinetuneResult:
+             metrics_path: Optional[str] = None,
+             mesh=None) -> FinetuneResult:
     """Run the full 5-fold finetune + eval protocol. Returns fold-averaged
     max-over-epoch metrics (reference train.py:98-108).
 
@@ -118,6 +121,9 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
       optimizer, epoch, per-fold metric history — unlike the reference's
       weight-only ``model_mae.pth``, which cannot resume, train.py:76,95).
     - ``metrics_path``: append one JSON line per epoch.
+    - ``mesh``: a ``jax.sharding.Mesh`` with (data, model) axes — the train
+      step then runs dp×tp over it (the north star's data-parallel training
+      loop; the batch is padded to a multiple of the data axis).
     """
     from vidsum_tpu.utils.metrics_log import MetricsLogger
     from vidsum_tpu.utils.profiling import trace
@@ -141,7 +147,19 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             avg_s.update(sb["spearman_rho"], 1)
 
     optimizer = make_optimizer(cfg.train.lr, cfg.train.weight_decay)
-    step_fn = make_finetune_step(cfg.model, optimizer)
+    if mesh is not None:
+        if cfg.train.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} not divisible by the "
+                f"data axis ({mesh.shape['data']})")
+        from vidsum_tpu.parallel.train_parallel import (
+            make_sharded_finetune_step,
+        )
+        sharded_init, step_fn = make_sharded_finetune_step(cfg.model,
+                                                           optimizer, mesh)
+    else:
+        sharded_init = None
+        step_fn = make_finetune_step(cfg.model, optimizer)
     fwd = make_eval_forward(cfg.model)
 
     start_split = resume_meta["split"] if resume_meta else 0
@@ -155,7 +173,6 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
         _, init_key = jax.random.split(jax.random.PRNGKey(cfg.train.seed))
         rng_jax = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
         params = init_simnet(init_key, cfg.model)
-        opt_state = optimizer.init(params)
 
         pretrain_path = os.path.join(workdir, cfg.train.pretrain_ckpt)
         if cfg.train.use_pretrained and os.path.exists(pretrain_path):
@@ -164,6 +181,11 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
         save_path = os.path.join(workdir, cfg.train.save_ckpt)
         if cfg.train.warm_start_from_save and os.path.exists(save_path):
             params, _ = load_checkpoint(save_path, params)
+
+        if sharded_init is not None:
+            params, opt_state = sharded_init(params)
+        else:
+            opt_state = optimizer.init(params)
 
         logger.info("model has %d parameters", count_params(params))
 
@@ -197,7 +219,7 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             with trace(profile_dir if split_idx == 0 and epoch == 0 else None):
                 params, opt_state, train_loss, rng_jax = _train_epoch(
                     step_fn, params, opt_state, train_set, cfg, rng_np,
-                    rng_jax)
+                    rng_jax, pad_to_batch=mesh is not None)
             val_loss, f, k, s = _val_epoch(fwd, params, val_set, cfg)
             fs.append(f)
             if not (np.isnan(k) or np.isnan(s)):

@@ -29,16 +29,28 @@ logger = logging.getLogger(__name__)
 
 
 def pretrain(cfg: Config, dataset, workdir: str = ".",
-             log_every: int = 4) -> dict:
+             log_every: int = 4, mesh=None) -> dict:
     """Run pretraining over ``dataset`` (any indexable of
     ``(frame_features, video_rep)`` pairs). Returns the final param pytree;
-    the encoder subtree is checkpointed each epoch like pretrain.py:46."""
+    the encoder subtree is checkpointed each epoch like pretrain.py:46.
+    With ``mesh``, the step runs dp×tp over it."""
     pcfg = cfg.pretrain
     steps_per_epoch = max(pcfg.scheduler_samples // pcfg.batch_size, 1)
     schedule = reference_pretrain_schedule(pcfg.lr, steps_per_epoch,
                                            pcfg.warmup_epochs, pcfg.epochs)
     optimizer = make_optimizer(schedule, pcfg.weight_decay)
-    step_fn = make_pretrain_step(cfg.model, pcfg, optimizer)
+    sharded_init = None
+    if mesh is not None:
+        if pcfg.batch_size % mesh.shape["data"]:
+            raise ValueError(f"batch_size {pcfg.batch_size} not divisible "
+                             f"by the data axis ({mesh.shape['data']})")
+        from vidsum_tpu.parallel.train_parallel import (
+            make_sharded_pretrain_step,
+        )
+        sharded_init, step_fn = make_sharded_pretrain_step(cfg.model, pcfg,
+                                                           optimizer, mesh)
+    else:
+        step_fn = make_pretrain_step(cfg.model, pcfg, optimizer)
 
     # init on the default PRNG (stable across rng_impl); dropout stream on
     # the configured implementation (rbg is ~1.7x faster on TPU)
@@ -46,7 +58,10 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
     _, init_key = jax.random.split(jax.random.PRNGKey(pcfg.seed))
     rng_jax = jax.random.key(pcfg.seed, impl=pcfg.rng_impl)
     params = init_pretrain_model(init_key, cfg.model)
-    opt_state = optimizer.init(params)
+    if sharded_init is not None:
+        params, opt_state = sharded_init(params)
+    else:
+        opt_state = optimizer.init(params)
     logger.info("number of videos: %d", len(dataset))
     logger.info("number of model parameters: %d", count_params(params))
 
