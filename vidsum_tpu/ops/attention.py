@@ -106,7 +106,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     guarantee this); other shapes fall back to the XLA dense path.
     """
     B, H, N, Dh = q.shape
-    if N % TILE_Q != 0:
+    # VMEM guard: a grid cell holds q/k/v/o (N, Dh) + one (TILE_Q, N) fp32
+    # score tile; beyond ~12 MB fall back to the dense path
+    vmem = 4 * N * Dh * q.dtype.itemsize + 4 * TILE_Q * N
+    if N % TILE_Q != 0 or vmem > 12 * 1024 * 1024:
         return _xla_attention(q, k, v, pad_mask, scale)
     if pad_mask is None:
         pad_mask = jnp.zeros((B, N), bool)

@@ -162,6 +162,16 @@ def fused_encoder_block(block_params: Dict[str, Any], x: jnp.ndarray,
         tile_q = _pick_tile(N)
     if N % tile_q != 0:
         raise ValueError(f"N={N} must be a multiple of {tile_q}")
+    # VMEM guard: x + K + V (N, d) + weights (~9d² + 2 score/hidden tiles);
+    # beyond ~12 MB the Mosaic allocator will fail — refuse early with a
+    # clear error (callers then use attn_impl='pallas' or 'xla')
+    itm = x.dtype.itemsize
+    vmem = (3 * N * d * itm + 9 * d * d * itm
+            + 4 * tile_q * N + 4 * tile_q * 4 * d)
+    if vmem > 12 * 1024 * 1024:
+        raise ValueError(
+            f"fused block working set ~{vmem >> 20} MB exceeds VMEM at "
+            f"N={N}, d={d}; use attn_impl='pallas' for this shape")
     if pad_mask is None:
         pad_mask = jnp.zeros((B, N), bool)
     mask = pad_mask.astype(jnp.int8)[:, None, :]
