@@ -46,11 +46,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--length_bucket", type=int, default=128)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--debug_nans", action="store_true",
+                   help="raise on the first NaN the compiler sees "
+                        "(jax debug_nans; the jit-purity analogue of "
+                        "a sanitizer run)")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if getattr(args, 'debug_nans', False):
+        import jax
+
+        jax.config.update('jax_debug_nans', True)
     logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
                         level=logging.INFO)
     cfg = Config(

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train dp(xtp) over all visible devices")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree within the mesh (with --dp)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="raise on the first NaN the compiler sees "
+                        "(jax debug_nans; the jit-purity analogue of "
+                        "a sanitizer run)")
     return p
 
 
@@ -83,6 +87,10 @@ def config_from_args(args) -> Config:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if getattr(args, 'debug_nans', False):
+        import jax
+
+        jax.config.update('jax_debug_nans', True)
     logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
                         level=logging.INFO)
     if args.split_path:
