@@ -137,6 +137,16 @@ def _attention(p: Params, x: jnp.ndarray, pad_mask, cfg: ModelConfig,
     if attn_fn is not None:
         # caller-supplied attention (e.g. sequence-parallel ring attention)
         out = attn_fn(q, k, v, pad_mask)
+    elif (attn_impl == "pallas" and not return_weights
+          and not deterministic and cfg.dropout > 0.0 and N % 128 == 0):
+        # training path: fused attention with in-kernel dropout (the
+        # (B,H,N,N) mask never exists in HBM); custom VJP
+        from vidsum_tpu.ops.attention_train import flash_attention_dropout
+        seed = jax.random.randint(rng, (1, 1), 0, 2**31 - 1, jnp.int32)
+        mask8 = (pad_mask.astype(jnp.int8)[:, None, :] if pad_mask is not None
+                 else jnp.zeros((B, 1, N), jnp.int8))
+        out = flash_attention_dropout(q, k, v, mask8, seed, cfg.dropout,
+                                      cfg.attn_scale)
     elif attn_impl == "pallas" and not return_weights and (
             deterministic or cfg.dropout == 0.0):
         from vidsum_tpu.ops.attention import flash_attention

@@ -1,0 +1,249 @@
+"""Trainable fused attention with in-kernel dropout (custom VJP).
+
+The reference drops out the attention *weights* every training step
+(``src/model/simnet.py:159``), which on the XLA path costs a full
+(B, H, N, N) random mask materialized through HBM — measured as the largest
+single slice of the train step (PERF.md). Here both passes are Pallas
+kernels and the mask never exists as a tensor:
+
+- **forward**: flash-style tiles: scores, stable softmax, dropout from a
+  counter-based hash mask (murmur-style fmix over seed/batch/head/position;
+  the hardware PRNG was rejected because its bit-to-element mapping is
+  vector-layout-dependent and the fwd/bwd kernels observed different masks),
+  output accumulation. Saves only the per-row logsumexp (B, H, 1, N).
+- **backward**: recomputes the softmax from q/k/lse, reconstructs the
+  identical hash mask, then runs the exact VJP: dv = pd^T do,
+  dp = keep*(do v^T)/keep_prob, ds = p*(dp - rowsum(dp*p)),
+  dq = ds k*scale, dk = ds^T q*scale, with dk/dv accumulated across query
+  tiles in VMEM scratch.
+
+Gradients are verified against a dense XLA attention applying the identical
+mask (dropout_attention_reference): exact comparison, no finite differences.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+NEG_INF = float("-inf")
+
+
+def _keep_mask(seed, b, h, tile_i, shape, rate: float):
+    """Counter-based keep mask: murmur3-style fmix over
+    (seed, batch, head, global position). Value-based rather than
+    generator-based, so the fwd and bwd kernels reconstruct bit-identical
+    masks regardless of Mosaic's internal vector layouts (the hardware PRNG's
+    bit→element mapping is layout-dependent — observed delivering different
+    masks to the two kernels) — and it runs under interpret mode too."""
+    T, N = shape
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(
+        tile_i * T)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            + jnp.uint32(b * 1024 + h + 1) * jnp.uint32(0x85EBCA77))
+    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
+    return x >= jnp.uint32(threshold)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref, lse_ref, *,
+                scale: float, rate: float, n_tiles: int):
+    b, h = pl.program_id(0), pl.program_id(1)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    key_mask = mask_ref[0] != 0          # (1, N)
+
+    def tile(i, _):
+        q = q_ref[0, 0, pl.ds(i * TILE, TILE), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(key_mask, NEG_INF, s)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=1, keepdims=True)
+        p = e / l
+        lse_ref[0, 0, :, pl.ds(i * TILE, TILE)] = (
+            m + jnp.log(l)).reshape(1, TILE)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref[0, 0], b, h, i, p.shape, rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, 0, pl.ds(i * TILE, TILE), :] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, lse_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                scale: float, rate: float, n_tiles: int):
+    b, h = pl.program_id(0), pl.program_id(1)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    key_mask = mask_ref[0] != 0
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    def tile(i, _):
+        q = q_ref[0, 0, pl.ds(i * TILE, TILE), :]
+        do = do_ref[0, 0, pl.ds(i * TILE, TILE), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(key_mask, NEG_INF, s)
+        lse = lse_ref[0, 0, :, pl.ds(i * TILE, TILE)].reshape(TILE, 1)
+        p = jnp.exp(s - lse)                                  # (T, N)
+
+        dpd = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref[0, 0], b, h, i, p.shape, rate)
+            pd = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dpd * inv_keep, 0.0)
+        else:
+            pd = p
+            dp = dpd
+
+        dv_acc[...] += jax.lax.dot_general(
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        dq = jax.lax.dot_general(ds.astype(k.dtype), k,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[0, 0, pl.ds(i * TILE, TILE), :] = dq.astype(dq_ref.dtype)
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+    dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _specs(B, H, N, Dh):
+    qkv = pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((1, 1, N), lambda b, h: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1), lambda b, h: (0, 0),
+                        memory_space=pltpu.SMEM)
+    lse = pl.BlockSpec((1, 1, 1, N), lambda b, h: (b, h, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return qkv, mask, seed, lse
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "interpret"))
+def _forward(q, k, v, mask, seed, scale, rate, interpret):
+    B, H, N, Dh = q.shape
+    qkv, mspec, sspec, lspec = _specs(B, H, N, Dh)
+    kernel = functools.partial(_fwd_kernel, scale=scale, rate=rate,
+                               n_tiles=N // TILE)
+    return pl.pallas_call(
+        kernel, grid=(B, H),
+        in_specs=[qkv, qkv, qkv, mspec, sspec],
+        out_specs=(qkv, lspec),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((B, H, 1, N), jnp.float32)),
+        interpret=interpret,
+    )(q, k, v, mask, seed)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "interpret"))
+def _backward(q, k, v, mask, seed, lse, do, scale, rate, interpret):
+    B, H, N, Dh = q.shape
+    qkv, mspec, sspec, lspec = _specs(B, H, N, Dh)
+    kernel = functools.partial(_bwd_kernel, scale=scale, rate=rate,
+                               n_tiles=N // TILE)
+    return pl.pallas_call(
+        kernel, grid=(B, H),
+        in_specs=[qkv, qkv, qkv, mspec, sspec, lspec, qkv],
+        out_specs=(qkv, qkv, qkv),
+        out_shape=tuple(jax.ShapeDtypeStruct(q.shape, q.dtype)
+                        for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((N, Dh), jnp.float32),
+                        pltpu.VMEM((N, Dh), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, mask, seed, lse, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention_dropout(q, k, v, mask, seed, rate: float, scale: float):
+    """Fused attention with attention-weight dropout.
+
+    q/k/v (B, H, N, Dh); mask (B, 1, N) int8 (nonzero = padded key);
+    seed (1, 1) int32; rate/scale python floats (static). N must be a
+    multiple of 128. Returns (B, H, N, Dh) in q's dtype.
+    """
+    out, _ = _fwd_impl(q, k, v, mask, seed, rate, scale)
+    return out
+
+
+def _interpret():
+    """Off-TPU, use the TPU-semantics interpreter (the generic one lacks the
+    pltpu PRNG primitives)."""
+    if jax.default_backend() == "tpu":
+        return False
+    return pltpu.InterpretParams()
+
+
+def _fwd_impl(q, k, v, mask, seed, rate, scale):
+    o, lse = _forward(q, k, v, mask, seed, scale, rate, _interpret())
+    return o, lse
+
+
+def _vjp_fwd(q, k, v, mask, seed, rate, scale):
+    o, lse = _fwd_impl(q, k, v, mask, seed, rate, scale)
+    return o, (q, k, v, mask, seed, lse)
+
+
+def _vjp_bwd(rate, scale, residuals, do):
+    q, k, v, mask, seed, lse = residuals
+    dq, dk, dv = _backward(q, k, v, mask, seed, lse, do.astype(q.dtype),
+                           scale, rate, _interpret())
+    return dq, dk, dv, None, None
+
+
+flash_attention_dropout.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def reference_keep_mask(seed, B: int, H: int, N: int, rate: float):
+    """Host-side replica of the kernel's hash mask (for tests): (B, H, N, N)
+    boolean keep mask, True = attention weight kept."""
+    out = jnp.zeros((B, H, N, N), bool)
+    for b in range(B):
+        for h in range(H):
+            for i in range(N // TILE):
+                m = _keep_mask(jnp.asarray(seed, jnp.int32), b, h, i,
+                               (TILE, N), rate)
+                out = out.at[b, h, i * TILE:(i + 1) * TILE, :].set(m)
+    return out
+
+
+def dropout_attention_reference(q, k, v, bool_mask, keep, rate, scale):
+    """Dense XLA attention applying a GIVEN keep mask — the semantics the
+    fused kernel must match bit-for-bit up to float tolerance."""
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = jnp.where(bool_mask[:, None, None, :], NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    if rate > 0.0:
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+    return jnp.einsum("bhnm,bhmd->bhnd", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

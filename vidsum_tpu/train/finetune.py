@@ -159,7 +159,11 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
                                                            optimizer, mesh)
     else:
         sharded_init = None
-        step_fn = make_finetune_step(cfg.model, optimizer)
+        attn_impl = cfg.train.attn_impl
+        if attn_impl == "auto":
+            attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        step_fn = make_finetune_step(cfg.model, optimizer,
+                                     attn_impl=attn_impl)
     fwd = make_eval_forward(cfg.model)
 
     start_split = resume_meta["split"] if resume_meta else 0
