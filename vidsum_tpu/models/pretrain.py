@@ -46,6 +46,7 @@ def pretrain_apply(params: Params, model_cfg: ModelConfig,
                    x: jnp.ndarray, video_rep: jnp.ndarray,
                    pad_mask: Optional[jnp.ndarray] = None, *,
                    rng=None, deterministic: bool = True,
+                   attn_impl: str = "xla",
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (main_loss, center_loss, repel_loss).
 
@@ -55,7 +56,8 @@ def pretrain_apply(params: Params, model_cfg: ModelConfig,
     """
     scores, frame_features = simnet_apply(
         params["encoder"], model_cfg, x, pad_mask,
-        rng=rng, deterministic=deterministic, model_score=True)
+        rng=rng, deterministic=deterministic, model_score=True,
+        attn_impl=attn_impl)
     frame_features = _linear(params["video_transform"],
                              frame_features.astype(jnp.float32))
 

@@ -164,7 +164,8 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         step_fn = make_finetune_step(cfg.model, optimizer,
                                      attn_impl=attn_impl)
-    fwd = make_eval_forward(cfg.model)
+    eval_impl = ("pallas_block" if jax.default_backend() == "tpu" else "xla")
+    fwd = make_eval_forward(cfg.model, attn_impl=eval_impl)
 
     start_split = resume_meta["split"] if resume_meta else 0
     for split_idx, split in enumerate(splits):

@@ -50,7 +50,10 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
         sharded_init, step_fn = make_sharded_pretrain_step(cfg.model, pcfg,
                                                            optimizer, mesh)
     else:
-        step_fn = make_pretrain_step(cfg.model, pcfg, optimizer)
+        attn_impl = ("pallas" if jax.default_backend() == "tpu"
+                     else "xla")
+        step_fn = make_pretrain_step(cfg.model, pcfg, optimizer,
+                                     attn_impl=attn_impl)
 
     # init on the default PRNG (stable across rng_impl); dropout stream on
     # the configured implementation (rbg is ~1.7x faster on TPU)

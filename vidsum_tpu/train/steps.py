@@ -76,7 +76,8 @@ def make_eval_forward(cfg: ModelConfig, attn_impl: str = "xla") -> Callable:
 
 
 def make_pretrain_step(model_cfg: ModelConfig, pretrain_cfg: PretrainConfig,
-                       optimizer: optax.GradientTransformation) -> Callable:
+                       optimizer: optax.GradientTransformation,
+                       attn_impl: str = "xla") -> Callable:
     """Returns jitted ``step(params, opt_state, x, video_rep, pad_mask, rng)
     -> (params, opt_state, (total, main, center, repel))``.
 
@@ -88,7 +89,7 @@ def make_pretrain_step(model_cfg: ModelConfig, pretrain_cfg: PretrainConfig,
     def loss_fn(params, x, video_rep, pad_mask, rng):
         main, center, repel = pretrain_apply(
             params, model_cfg, pretrain_cfg, x, video_rep, pad_mask,
-            rng=rng, deterministic=False)
+            rng=rng, deterministic=False, attn_impl=attn_impl)
         total = (main + pretrain_cfg.center_weight * center
                  + pretrain_cfg.repel_weight * repel)
         return total, (main, center, repel)
