@@ -68,3 +68,37 @@ def test_golden_stable_under_native_toggle():
     with open(GOLDEN) as f:
         want = json.load(f)
     assert got == want
+
+
+def test_eval_metrics_golden():
+    """Full metric stack (upsample → KTS shots → knapsack → F/τ/ρ) pinned on
+    a fixed fixture; any drift in any stage shows up here."""
+    import json as _json
+
+    from vidsum_tpu.ops.metrics import eval_metrics
+
+    class U:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    rng = np.random.default_rng(321)
+    score_dict, user_dict = {}, {}
+    for vi in range(5):
+        n_frames = int(rng.integers(200, 500))
+        picks = np.arange(0, n_frames, 15)
+        cuts = np.sort(rng.choice(np.arange(1, n_frames), 6, replace=False))
+        bounds = np.concatenate([[0], cuts, [n_frames]])
+        cp = np.stack([bounds[:-1], bounds[1:] - 1], axis=1)
+        name = f"video_{vi}"
+        score_dict[name] = rng.random(len(picks)).astype(np.float32)
+        user_dict[name] = U(
+            user_summary=rng.integers(0, 2, (5, n_frames)),
+            user_scores=rng.random((5, n_frames)).astype(np.float32),
+            change_points=cp, n_frames=n_frames, picks=picks)
+    f, k, s = eval_metrics(score_dict, user_dict)
+    with open(os.path.join(os.path.dirname(__file__), "data",
+                           "golden_metrics.json")) as fh:
+        want = _json.load(fh)
+    assert abs(f - want["fscore"]) < 1e-9
+    assert abs(k - want["kendall_tau"]) < 1e-12
+    assert abs(s - want["spearman_rho"]) < 1e-12
