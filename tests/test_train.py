@@ -31,12 +31,13 @@ def data_root(tmp_path_factory):
 
 
 def tiny_config(data_root, **train_kwargs) -> Config:
+    train_kwargs.setdefault("max_epoch", 2)
     return Config(
         model=TINY_MODEL,
         data=DataConfig(root=data_root, ex_dataset="tvsum", datasets="tvsum",
                         length_bucket=128),
         train=TrainConfig(lr=1e-3, weight_decay=1e-4, batch_size=2,
-                          max_epoch=2, **train_kwargs),
+                          **train_kwargs),
     )
 
 
@@ -310,3 +311,34 @@ def test_finetune_mesh_batch_divisibility(data_root, tmp_path):
         finetune(cfg, [{"train_keys": ["x/video_0"],
                         "test_keys": ["x/video_1"]}],
                  workdir=str(tmp_path), export_summary=False, mesh=mesh)
+
+
+def test_resume_is_exact(data_root, tmp_path):
+    """2 epochs + resume for 2 more must produce bit-identical params to an
+    uninterrupted 4-epoch run (per-(split, epoch) RNG streams)."""
+    import shutil
+    from vidsum_tpu.train.checkpoint import load_checkpoint
+    splits = [{"train_keys": [f"x/video_{i}" for i in range(4)],
+               "test_keys": ["x/video_4"]}]
+
+    d_straight = str(tmp_path / "straight"); os.makedirs(d_straight)
+    d_resumed = str(tmp_path / "resumed"); os.makedirs(d_resumed)
+
+    cfg4 = tiny_config(data_root, max_epoch=4)
+    finetune(cfg4, splits, workdir=d_straight, export_summary=False)
+
+    cfg2 = tiny_config(data_root)  # max_epoch=2
+    finetune(cfg2, splits, workdir=d_resumed, export_summary=False)
+    finetune(cfg4, splits, workdir=d_resumed, export_summary=False,
+             resume=True)
+
+    params_a = init_simnet(jax.random.PRNGKey(0), TINY_MODEL)
+    like = {"params": params_a, "opt_state": None}
+    # compare the saved model checkpoints (params only)
+    a, _ = load_checkpoint(os.path.join(d_straight, "model_mae.ckpt"),
+                           params_a)
+    b, _ = load_checkpoint(os.path.join(d_resumed, "model_mae.ckpt"),
+                           params_a)
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -52,6 +52,9 @@ class FinetuneResult:
 
 def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
                  pad_to_batch: bool = False):
+    """One epoch. ``rng_np``/``rng_jax`` are per-epoch streams derived by
+    folding (split, epoch) into the seed — a resumed run therefore replays
+    the exact shuffle and dropout bits of an uninterrupted one."""
     loss_avg = AverageMeter()
     for batch_idx in make_batches(len(dataset), cfg.train.batch_size,
                                   shuffle=True, rng=rng_np,
@@ -174,9 +177,8 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
         logger.info("Split %d", split_idx + 1)
         # init stays on the default PRNG (stable param values across rng_impl
         # choices); the dropout stream uses the configured implementation
-        rng_np = np.random.default_rng(cfg.train.seed)
         _, init_key = jax.random.split(jax.random.PRNGKey(cfg.train.seed))
-        rng_jax = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
+        rng_base = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
         params = init_simnet(init_key, cfg.model)
 
         pretrain_path = os.path.join(workdir, cfg.train.pretrain_ckpt)
@@ -221,10 +223,15 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             resume_meta = None
         for epoch in range(start_epoch, cfg.train.max_epoch):
             t0 = time.time()
+            # per-(split, epoch) streams → exact replay under resume
+            rng_np = np.random.default_rng(
+                (cfg.train.seed, split_idx, epoch))
+            rng_epoch = jax.random.fold_in(
+                jax.random.fold_in(rng_base, split_idx), epoch)
             with trace(profile_dir if split_idx == 0 and epoch == 0 else None):
-                params, opt_state, train_loss, rng_jax = _train_epoch(
+                params, opt_state, train_loss, _ = _train_epoch(
                     step_fn, params, opt_state, train_set, cfg, rng_np,
-                    rng_jax, pad_to_batch=mesh is not None)
+                    rng_epoch, pad_to_batch=mesh is not None)
             val_loss, f, k, s = _val_epoch(fwd, params, val_set, cfg)
             fs.append(f)
             if not (np.isnan(k) or np.isnan(s)):
