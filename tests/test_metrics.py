@@ -86,3 +86,18 @@ def test_eval_metrics_end_to_end():
     f, k, s = eval_metrics(score_dict, user_dict)
     assert 0.0 <= f <= 100.0
     assert -1.0 <= k <= 1.0 and -1.0 <= s <= 1.0
+
+
+def test_eval_metrics_max_method():
+    """eval_method='max' (the literature's SumMe reduction) flows through."""
+    rng = np.random.default_rng(60)
+    n_frames = 200
+    picks = np.arange(0, n_frames, 10)
+    cp = np.array([[0, 99], [100, 199]])
+    user = _User(user_summary=rng.integers(0, 2, (3, n_frames)),
+                 user_scores=rng.random((3, n_frames)),
+                 change_points=cp, n_frames=n_frames, picks=picks)
+    scores = {"v": rng.random(len(picks)).astype(np.float32)}
+    f_avg, _, _ = eval_metrics(scores, {"v": user}, eval_method="avg")
+    f_max, _, _ = eval_metrics(scores, {"v": user}, eval_method="max")
+    assert f_max >= f_avg

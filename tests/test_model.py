@@ -197,3 +197,15 @@ def test_torch_checkpoint_roundtrip_export():
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_head_dim_scale_variant():
+    """scale_by_d_model=False uses head_dim**-0.5 (the standard transformer
+    scale, offered as the corrected alternative to the reference quirk)."""
+    cfg = dataclasses.replace(CFG, scale_by_d_model=False)
+    assert abs(cfg.attn_scale - (CFG.d_model // CFG.num_heads) ** -0.5) < 1e-12
+    p = init_simnet(jax.random.PRNGKey(6), cfg)
+    x = jnp.ones((1, 8, cfg.in_features))
+    s_a, _ = simnet_apply(p, cfg, x)
+    s_b, _ = simnet_apply(p, CFG, x)  # d_model scale
+    assert not np.allclose(np.asarray(s_a), np.asarray(s_b))

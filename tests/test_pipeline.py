@@ -1,5 +1,7 @@
 """Raw-video → summary pipeline (single XLA program for the compute path)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -43,3 +45,22 @@ def test_summarize_video_end_to_end(video_path):
     assert np.isfinite(out.scores).all()
     assert out.change_points[0, 0] == 0
     assert out.change_points[-1, 1] == 119
+
+
+def test_summarize_directory(video_path, tmp_path):
+    import json
+    import shutil
+    vdir = str(tmp_path / "vids")
+    os.makedirs(vdir)
+    shutil.copy(video_path, os.path.join(vdir, "a.mp4"))
+    cfg = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.0,
+                      max_len=256)
+    scorer = init_simnet(jax.random.PRNGKey(0), cfg)
+    google = init_googlenet(jax.random.PRNGKey(1))
+    from vidsum_tpu.pipeline import summarize_directory
+    out_json = str(tmp_path / "summary.json")
+    res = summarize_directory(vdir, scorer, cfg, google, out_json=out_json,
+                              fps=2, size=64)
+    assert set(res) == {"video_0"}
+    with open(out_json) as f:
+        assert json.load(f) == {k: list(v) for k, v in res.items()}

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Dict
 
 
 import numpy as np
@@ -86,3 +87,27 @@ def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
     return VideoSummary(summary=summary, scores=scores,
                         change_points=change_points, picks=picks,
                         n_frames=n_frames)
+
+
+def summarize_directory(video_dir: str, scorer_params, cfg: ModelConfig,
+                        google_params, out_json: str = "summary.json",
+                        fps: int = 2, size: int = 224,
+                        budget_ratio: float = 0.15) -> Dict[str, list]:
+    """Batch the raw-video pipeline over every video in a directory and write
+    a ``summary.json`` keyed by ``video_<i>`` (the reference export layout,
+    ``src/generate_summary_image.py:39-48``)."""
+    import glob
+    import json
+    import os
+
+    results: Dict[str, list] = {}
+    paths = sorted(p for p in glob.glob(os.path.join(video_dir, "*"))
+                   if p.rsplit(".", 1)[-1].lower() in
+                   ("mp4", "mkv", "mpeg", "avi", "webm"))
+    for i, path in enumerate(paths):
+        out = summarize_video(path, scorer_params, cfg, google_params,
+                              fps=fps, size=size, budget_ratio=budget_ratio)
+        results[f"video_{i}"] = np.nonzero(out.summary)[0].tolist()
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=8)
+    return results
