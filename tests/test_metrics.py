@@ -93,7 +93,9 @@ def test_eval_metrics_max_method():
     rng = np.random.default_rng(60)
     n_frames = 200
     picks = np.arange(0, n_frames, 10)
-    cp = np.array([[0, 99], [100, 199]])
+    cuts = np.arange(20, n_frames, 20)   # 20-frame shots fit the 15% budget
+    bounds = np.concatenate([[0], cuts, [n_frames]])
+    cp = np.stack([bounds[:-1], bounds[1:] - 1], axis=1)
     user = _User(user_summary=rng.integers(0, 2, (3, n_frames)),
                  user_scores=rng.random((3, n_frames)),
                  change_points=cp, n_frames=n_frames, picks=picks)
@@ -101,3 +103,11 @@ def test_eval_metrics_max_method():
     f_avg, _, _ = eval_metrics(scores, {"v": user}, eval_method="avg")
     f_max, _, _ = eval_metrics(scores, {"v": user}, eval_method="max")
     assert f_max >= f_avg
+
+
+def test_empty_summary_scores_zero():
+    """Every shot over budget → empty summary → F=0 (the reference raises
+    ZeroDivisionError here)."""
+    pred = np.zeros(10, dtype=int)
+    users = np.ones((2, 10), dtype=int)
+    assert evaluate_summary(pred, users, "avg") == 0.0

@@ -30,6 +30,12 @@ def evaluate_summary(predicted_summary: np.ndarray, user_summary: np.ndarray,
     G = np.zeros(max_len, dtype=int)
     S[: len(predicted_summary)] = predicted_summary
 
+    if int(S.sum()) == 0:
+        # an empty machine summary (every shot exceeds the budget) scores 0
+        # — the reference raises ZeroDivisionError here (crash-bug policy:
+        # fixed, behavior documented)
+        return 0.0
+
     f_scores = []
     for user in range(user_summary.shape[0]):
         G[:] = 0
