@@ -139,3 +139,35 @@ def test_grad_sync_across_data_axis():
                     jax.tree_util.tree_leaves(sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_sharded_pretrain_step_matches_single_device():
+    """dp×tp pretrain step == single-device step (dropout off)."""
+    from vidsum_tpu.models.pretrain import init_pretrain_model
+    from vidsum_tpu.train.steps import make_pretrain_step
+
+    mcfg = dataclasses.replace(CFG, dropout=0.0)
+    pcfg = PretrainConfig()
+    optimizer = make_optimizer(1e-3, 5e-4)
+    params = init_pretrain_model(jax.random.PRNGKey(9), mcfg)
+    x, _, mask = make_batch(9)
+    v = jnp.asarray(np.random.default_rng(10).normal(size=(8, 512)),
+                    jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    ref_step = make_pretrain_step(mcfg, pcfg, optimizer)
+    ref_params, _, ref_losses = ref_step(
+        jax.tree_util.tree_map(jnp.copy, params), optimizer.init(params),
+        jnp.asarray(x), v, jnp.asarray(mask), rng)
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    init_fn, step_fn = make_sharded_pretrain_step(mcfg, pcfg, optimizer, mesh)
+    sp, so = init_fn(params)
+    sp, so, losses = step_fn(sp, so, jnp.asarray(x), v, jnp.asarray(mask),
+                             rng)
+    for a, b in zip(losses, ref_losses):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=7e-4, atol=7e-4)
