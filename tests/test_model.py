@@ -209,3 +209,24 @@ def test_head_dim_scale_variant():
     s_a, _ = simnet_apply(p, cfg, x)
     s_b, _ = simnet_apply(p, CFG, x)  # d_model scale
     assert not np.allclose(np.asarray(s_a), np.asarray(s_b))
+
+
+def test_pre_ln_variant():
+    """norm_first=True: pre-LN blocks run, differ from post-LN, and keep
+    mask invariance."""
+    cfg = dataclasses.replace(CFG, norm_first=True, dropout=0.0)
+    p = init_simnet(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(70)
+    x = jnp.asarray(rng.normal(size=(1, 12, cfg.in_features)), jnp.float32)
+    s_pre, _ = simnet_apply(p, cfg, x)
+    s_post, _ = simnet_apply(p, dataclasses.replace(CFG, dropout=0.0), x)
+    assert not np.allclose(np.asarray(s_pre), np.asarray(s_post))
+
+    pad = jnp.full((1, 4, cfg.in_features), 1000.0)
+    x_p = jnp.concatenate([x, pad], axis=1)
+    mask = jnp.concatenate([jnp.zeros((1, 12), bool), jnp.ones((1, 4), bool)],
+                           axis=1)
+    s_real, _ = simnet_apply(p, cfg, x, jnp.zeros((1, 12), bool))
+    s_padded, _ = simnet_apply(p, cfg, x_p, mask)
+    np.testing.assert_allclose(np.asarray(s_padded[:, :12]),
+                               np.asarray(s_real), rtol=1e-5, atol=1e-5)

@@ -41,6 +41,10 @@ class ModelConfig:
     # Reference scales attention by d_model**-0.5, NOT head_dim**-0.5
     # (simnet.py:126). Keep for checkpoint/training-dynamics parity.
     scale_by_d_model: bool = True
+    # Pre-LN blocks (x + sub(LN(x))) instead of the reference's post-LN
+    # (LN(drop(sub(x)) + x), simnet.py:108-111). Post-LN is the parity
+    # default; pre-LN is the modern variant that trains stably at depth.
+    norm_first: bool = False
     # Computation dtype ('bfloat16' on TPU replaces the reference's fp16 AMP,
     # train.py:38,120; params stay float32).
     compute_dtype: str = "float32"

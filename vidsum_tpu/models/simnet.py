@@ -225,6 +225,7 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
                 [jnp.zeros((B, 1), dtype=bool), pad_mask], axis=1)
 
     use_fused_block = (attn_impl == "pallas_block" and not return_attn
+                       and not cfg.norm_first
                        and (deterministic or cfg.dropout == 0.0))
     attn_maps: List[jnp.ndarray] = []
     for block in params["blocks"]:
@@ -237,13 +238,22 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
             rng, r_attn, r_d1, r_mlp, r_d2 = jax.random.split(rng, 5)
         else:
             r_attn = r_d1 = r_mlp = r_d2 = None
-        sa, w = _attention(block["attn"], h, pad_mask, cfg, r_attn,
-                           deterministic, return_attn, attn_impl, attn_fn)
-        h = _layernorm(block["ln1"], _dropout(sa, cfg.dropout, r_d1,
-                                              deterministic) + h)
-        ff = _mlp(block["mlp"], h, cfg, r_mlp, deterministic)
-        h = _layernorm(block["ln2"], _dropout(ff, cfg.dropout, r_d2,
-                                              deterministic) + h)
+        if cfg.norm_first:
+            sa, w = _attention(block["attn"], _layernorm(block["ln1"], h),
+                               pad_mask, cfg, r_attn, deterministic,
+                               return_attn, attn_impl, attn_fn)
+            h = h + _dropout(sa, cfg.dropout, r_d1, deterministic)
+            ff = _mlp(block["mlp"], _layernorm(block["ln2"], h), cfg, r_mlp,
+                      deterministic)
+            h = h + _dropout(ff, cfg.dropout, r_d2, deterministic)
+        else:
+            sa, w = _attention(block["attn"], h, pad_mask, cfg, r_attn,
+                               deterministic, return_attn, attn_impl, attn_fn)
+            h = _layernorm(block["ln1"], _dropout(sa, cfg.dropout, r_d1,
+                                                  deterministic) + h)
+            ff = _mlp(block["mlp"], h, cfg, r_mlp, deterministic)
+            h = _layernorm(block["ln2"], _dropout(ff, cfg.dropout, r_d2,
+                                                  deterministic) + h)
         if return_attn:
             attn_maps.append(w)
 
