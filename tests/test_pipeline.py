@@ -64,3 +64,15 @@ def test_summarize_directory(video_path, tmp_path):
     assert set(res) == {"video_0"}
     with open(out_json) as f:
         assert json.load(f) == {k: list(v) for k, v in res.items()}
+
+
+def test_cli_summarize_smoke(video_path, tmp_path, monkeypatch):
+    import json
+    from vidsum_tpu.cli.summarize import main
+    out = str(tmp_path / "s.json")
+    main(["--video", video_path, "--d_model", "32", "--num_heads", "4",
+          "--num_layers", "1", "--fps", "2", "--size", "64", "--out", out])
+    with open(out) as f:
+        rec = json.load(f)
+    assert rec["n_frames"] == 120
+    assert all(isinstance(i, int) for i in rec["selected_frames"])

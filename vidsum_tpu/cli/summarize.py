@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_heads", type=int, default=4)
     p.add_argument("--num_layers", type=int, default=4)
     p.add_argument("--fps", type=int, default=2)
+    p.add_argument("--size", type=int, default=224,
+                   help="shorter-side resize for GoogLeNet input")
     p.add_argument("--budget", type=float, default=0.15)
     p.add_argument("--out", default="summary.json")
     return p
@@ -70,7 +72,7 @@ def main(argv=None) -> None:
         google = init_googlenet(jax.random.PRNGKey(1))
 
     result = summarize_video(args.video, scorer, cfg, google, fps=args.fps,
-                             budget_ratio=args.budget)
+                             size=args.size, budget_ratio=args.budget)
     selected = np.nonzero(result.summary)[0].tolist()
     with open(args.out, "w") as f:
         json.dump({"video": args.video, "n_frames": int(result.n_frames),
