@@ -60,9 +60,17 @@ def main() -> None:
     def trivial(x):
         return x + 1.0
 
-    # warmup/compile both programs
-    np.asarray(chained(params, x0))
-    np.asarray(trivial(jnp.zeros((4,))))
+    # warmup/compile both programs; the first host fetch through the tunnel
+    # occasionally hits a multi-minute cold path — retry once after a pause
+    for attempt in range(2):
+        try:
+            np.asarray(chained(params, x0))
+            np.asarray(trivial(jnp.zeros((4,))))
+            break
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(60)
 
     t0 = time.perf_counter()
     np.asarray(trivial(jnp.zeros((4,))))
