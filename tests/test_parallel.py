@@ -171,3 +171,49 @@ def test_sharded_pretrain_step_matches_single_device():
                     jax.tree_util.tree_leaves(sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=7e-4, atol=7e-4)
+
+
+def test_dp_shardmap_step_matches_single_device():
+    """shard_map dp step (the fused-kernel multi-chip path) == single-device
+    step at dropout 0 (identical per-device rng folding is irrelevant then)."""
+    from jax.sharding import Mesh
+    from vidsum_tpu.parallel.dp_shardmap import make_dp_shardmap_finetune_step
+
+    optimizer = make_optimizer(1e-3, 1e-4)
+    params = init_simnet(jax.random.PRNGKey(21), CFG)
+    x, t, mask = make_batch(21, B=8, N=128)
+    rng = jax.random.PRNGKey(5)
+
+    ref_step = make_finetune_step(CFG, optimizer)
+    ref_params, _, ref_loss = ref_step(
+        jax.tree_util.tree_map(jnp.copy, params), optimizer.init(params),
+        jnp.asarray(x), jnp.asarray(t), jnp.asarray(mask), rng)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    step = make_dp_shardmap_finetune_step(CFG, optimizer, mesh,
+                                          attn_impl="pallas")
+    sp, so, loss = step(jax.tree_util.tree_map(jnp.copy, params),
+                        optimizer.init(params), jnp.asarray(x),
+                        jnp.asarray(t), jnp.asarray(mask), rng)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_dp_shardmap_step_with_dropout_runs():
+    from jax.sharding import Mesh
+    from vidsum_tpu.parallel.dp_shardmap import make_dp_shardmap_finetune_step
+
+    cfg = dataclasses.replace(CFG, dropout=0.3)
+    optimizer = make_optimizer(1e-3, 1e-4)
+    params = init_simnet(jax.random.PRNGKey(22), cfg)
+    x, t, mask = make_batch(22, B=8, N=128)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    step = make_dp_shardmap_finetune_step(cfg, optimizer, mesh,
+                                          attn_impl="pallas")
+    p, s, loss = step(params, optimizer.init(params), jnp.asarray(x),
+                      jnp.asarray(t), jnp.asarray(mask),
+                      jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

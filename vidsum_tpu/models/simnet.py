@@ -138,11 +138,14 @@ def _attention(p: Params, x: jnp.ndarray, pad_mask, cfg: ModelConfig,
         # caller-supplied attention (e.g. sequence-parallel ring attention)
         out = attn_fn(q, k, v, pad_mask)
     elif (attn_impl == "pallas" and not return_weights
-          and not deterministic and cfg.dropout > 0.0 and N % 128 == 0):
-        # training path: fused attention with in-kernel dropout (the
-        # (B,H,N,N) mask never exists in HBM); custom VJP
+          and not deterministic and N % 128 == 0):
+        # training path: fused attention with in-kernel dropout and a custom
+        # VJP (the inference kernel is not differentiable); rate=0 is exact
         from vidsum_tpu.ops.attention_train import flash_attention_dropout
-        seed = jax.random.randint(rng, (1, 1), 0, 2**31 - 1, jnp.int32)
+        if rng is not None and cfg.dropout > 0.0:
+            seed = jax.random.randint(rng, (1, 1), 0, 2**31 - 1, jnp.int32)
+        else:
+            seed = jnp.zeros((1, 1), jnp.int32)
         mask8 = (pad_mask.astype(jnp.int8)[:, None, :] if pad_mask is not None
                  else jnp.zeros((B, 1, N), jnp.int8))
         out = flash_attention_dropout(q, k, v, mask8, seed, cfg.dropout,

@@ -1,0 +1,69 @@
+"""Data-parallel training via shard_map — the multi-chip path that keeps the
+fused Pallas kernels.
+
+The GSPMD-based dp×tp step (``train_parallel.py``) lets XLA partition a
+plain-XLA graph, but GSPMD cannot partition a ``pallas_call``, so that step
+runs the dense attention path. Here the *program* is manually sharded
+instead: every device runs the identical local train computation on its
+batch shard — including the fused dropout-attention kernel — and gradients
+are ``psum``-averaged over the ``data`` axis (the one collective parity
+requires, SURVEY.md §2.6). Params and optimizer state stay replicated, so
+checkpoints are layout-free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vidsum_tpu.config import ModelConfig
+from vidsum_tpu.models.simnet import simnet_apply
+from vidsum_tpu.ops.losses import mse_with_mask_loss
+
+
+def make_dp_shardmap_finetune_step(cfg: ModelConfig,
+                                   optimizer: optax.GradientTransformation,
+                                   mesh: Mesh, attn_impl: str = "pallas",
+                                   data_axis: str = "data") -> Callable:
+    """Jitted ``step(params, opt_state, x, target, pad_mask, rng) ->
+    (params, opt_state, loss)`` with the batch sharded over ``data_axis`` and
+    the fused kernels running per shard.
+
+    The per-device dropout stream is decorrelated by folding in the device's
+    axis index; the returned loss is the global (batch-mean) loss.
+    """
+
+    def loss_fn(params, x, target, pad_mask, rng):
+        scores, _ = simnet_apply(params, cfg, x, pad_mask, rng=rng,
+                                 deterministic=False, attn_impl=attn_impl)
+        return mse_with_mask_loss(scores, target, pad_mask)
+
+    def local_step(params, opt_state, x, target, pad_mask, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, target,
+                                                  pad_mask, rng)
+        # the only collective: average grads (and the scalar loss) over data
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, data_axis), grads)
+        loss = jax.lax.pmean(loss, data_axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, x, target, pad_mask, rng):
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(data_axis, None, None), P(data_axis, None),
+                      P(data_axis, None), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,  # optimizer state updates are replicated-safe
+        )(params, opt_state, x, target, pad_mask, rng)
+
+    return step
