@@ -155,11 +155,21 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             raise ValueError(
                 f"batch_size {cfg.train.batch_size} not divisible by the "
                 f"data axis ({mesh.shape['data']})")
-        from vidsum_tpu.parallel.train_parallel import (
-            make_sharded_finetune_step,
-        )
-        sharded_init, step_fn = make_sharded_finetune_step(cfg.model,
-                                                           optimizer, mesh)
+        if mesh.shape.get("model", 1) == 1 and jax.default_backend() == "tpu":
+            # pure dp on real chips: the shard_map step keeps the fused
+            # Pallas kernels (GSPMD cannot partition pallas_call)
+            from vidsum_tpu.parallel.dp_shardmap import (
+                make_dp_shardmap_finetune_step,
+            )
+            sharded_init = None
+            step_fn = make_dp_shardmap_finetune_step(cfg.model, optimizer,
+                                                     mesh)
+        else:
+            from vidsum_tpu.parallel.train_parallel import (
+                make_sharded_finetune_step,
+            )
+            sharded_init, step_fn = make_sharded_finetune_step(
+                cfg.model, optimizer, mesh)
     else:
         sharded_init = None
         attn_impl = cfg.train.attn_impl
