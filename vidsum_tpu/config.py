@@ -106,11 +106,12 @@ class TrainConfig:
     # at d256/B32/N512 — dropout masks dominate the RNG cost); bits differ
     # from threefry but dropout streams carry no parity contract.
     rng_impl: str = "rbg"
-    # attention implementation for the train step: 'pallas' fuses attention
-    # with in-kernel dropout (8.7 vs 12.3 ms/step at d256/B32/N512 — the
-    # (B,H,N,N) dropout mask never exists in HBM); 'xla' is the dense path;
-    # 'auto' picks pallas on TPU and xla elsewhere (interpret mode is only
-    # for correctness tests, far too slow to train through).
+    # attention implementation for the train step: 'pallas_block' runs the
+    # whole encoder block as fused Pallas fwd+bwd kernels with all dropout
+    # sites in-kernel (7.5 ms/step at d256/B32/N512 vs 12.3 XLA and 21.3
+    # threefry baseline); 'pallas' fuses attention only (8.7 ms); 'xla' is
+    # the dense path; 'auto' picks pallas_block on TPU and xla elsewhere
+    # (interpret mode is only for correctness tests).
     attn_impl: str = "auto"
 
 

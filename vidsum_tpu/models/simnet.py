@@ -228,14 +228,33 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
                 [jnp.zeros((B, 1), dtype=bool), pad_mask], axis=1)
 
     use_fused_block = (attn_impl == "pallas_block" and not return_attn
-                       and not cfg.norm_first
-                       and (deterministic or cfg.dropout == 0.0))
+                       and not cfg.norm_first and deterministic)
+    use_fused_block_train = (attn_impl == "pallas_block" and not return_attn
+                             and not cfg.norm_first and not deterministic
+                             and h.shape[1] % 128 == 0)
     attn_maps: List[jnp.ndarray] = []
-    for block in params["blocks"]:
+    for layer_idx, block in enumerate(params["blocks"]):
         if use_fused_block:
             from vidsum_tpu.ops.block_kernel import fused_encoder_block
             h = fused_encoder_block(block, h, pad_mask, cfg.num_heads,
                                     cfg.attn_scale)
+            continue
+        if use_fused_block_train:
+            # whole-block training kernel: fwd+bwd fused, all dropout sites
+            # in-kernel (custom VJP, ops/block_train.py)
+            from vidsum_tpu.ops.block_train import fused_block_train
+            if rng is not None and cfg.dropout > 0.0:
+                rng, sub = jax.random.split(rng)
+                seed = jax.random.randint(sub, (1, 1), 0, 2**31 - 1,
+                                          jnp.int32)
+            else:
+                seed = jnp.full((1, 1), layer_idx, jnp.int32)
+            Bh, Nh = h.shape[0], h.shape[1]
+            mask8 = (pad_mask.astype(jnp.int8)[:, None, :]
+                     if pad_mask is not None
+                     else jnp.zeros((Bh, 1, Nh), jnp.int8))
+            h = fused_block_train(h, block, mask8, seed, cfg.num_heads,
+                                  cfg.attn_scale, cfg.dropout)
             continue
         if rng is not None:
             rng, r_attn, r_d1, r_mlp, r_d2 = jax.random.split(rng, 5)

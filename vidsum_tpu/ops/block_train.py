@@ -1,0 +1,440 @@
+"""Trainable fused encoder block: fwd AND bwd as Pallas kernels.
+
+One grid cell per batch element runs the whole post-LN block — QKV, per-head
+attention with in-kernel dropout, projection, dropout+residual+LN1, MLP with
+post-ReLU dropout, dropout+residual+LN2 — on-chip, and the backward kernel
+recomputes the forward per query tile (activations are never stored: the
+only residual is the input x) and emits exact gradients for x and every
+parameter. All four dropout sites use counter-based hash masks (murmur-style
+fmix over seed/site/batch/position — see ``ops/attention_train.py`` for why
+the hardware PRNG cannot be used), so the backward reconstructs bit-identical
+masks and the whole op is verifiable against a dense XLA block applying the
+same masks (``block_reference_with_masks``).
+
+Parameter gradients accumulate across the sequential grid (one VMEM-resident
+output block revisited per batch element, initialized at b == 0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+LN_EPS = 1e-5
+NEG_INF = float("-inf")
+
+# dropout sites
+S_ATTN, S_RES1, S_MLP, S_RES2 = 0, 1, 2, 3
+
+# flat parameter order (all 2-D weights (in, out), 1-D biases/LN vectors)
+PARAM_NAMES = ("wq", "bq", "wk", "bk", "wv", "bv", "wp", "bp",
+               "ln1s", "ln1b", "wf1", "bf1", "wf2", "bf2", "ln2s", "ln2b")
+
+
+def _hash_keep(seed, site, b, row0, shape, rate: float):
+    """Keep mask for a (T, cols) tile whose global rows start at row0."""
+    T, C = shape
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            + jnp.uint32(site * 131071 + 17) * jnp.uint32(0x85EBCA77)
+            + jnp.uint32(b + 1) * jnp.uint32(0x27220A95))
+    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
+    return x >= jnp.uint32(threshold)
+
+
+def _drop(x, keep, rate: float):
+    return jnp.where(keep, x * (1.0 / (1.0 - rate)), 0.0) if rate > 0.0 else x
+
+
+def _ln_fwd(z, scale, bias):
+    mu = z.mean(axis=-1, keepdims=True)
+    var = ((z - mu) ** 2).mean(axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (z - mu) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd(dy, xhat, inv, scale):
+    """Returns (dz, dscale, dbias)."""
+    d = xhat.shape[-1]
+    g = dy * scale
+    dz = inv * (g - g.mean(axis=-1, keepdims=True)
+                - xhat * (g * xhat).mean(axis=-1, keepdims=True))
+    return dz, (dy * xhat).sum(axis=0), dy.sum(axis=0)
+
+
+def _mm(a, b, ta=False, tb=False):
+    dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
+def _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads, scale,
+                  rate):
+    """Recompute-or-compute all forward intermediates for query tile i.
+    Returns a dict of everything both passes need."""
+    d = k.shape[-1]
+    Dh = d // num_heads
+    row0 = i * TILE
+    xq = x_ref[0, pl.ds(row0, TILE), :].astype(jnp.float32)       # (T, d)
+    q = _mm(xq, w["wq"]) + w["bq"]
+
+    outs, heads = [], []
+    for h in range(num_heads):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        s = _mm(q[:, sl], k[:, sl], tb=True) * scale               # (T, N)
+        s = jnp.where(key_mask, NEG_INF, s)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=1, keepdims=True)
+        p = e / l
+        keep = _hash_keep(seed, S_ATTN * 8 + h, b, row0, p.shape, rate)
+        pd = _drop(p, keep, rate)
+        outs.append(_mm(pd, v[:, sl]))
+        heads.append((p, keep, pd))
+    attn = jnp.concatenate(outs, axis=1)                           # (T, d)
+
+    proj = _mm(attn, w["wp"]) + w["bp"]
+    keep1 = _hash_keep(seed, S_RES1, b, row0, proj.shape, rate)
+    z1 = _drop(proj, keep1, rate) + xq
+    h1, xhat1, inv1 = _ln_fwd(z1, w["ln1s"], w["ln1b"])
+
+    a1 = _mm(h1, w["wf1"]) + w["bf1"]                              # (T, 4d)
+    r1 = jnp.maximum(a1, 0.0)
+    keepm = _hash_keep(seed, S_MLP, b, row0, r1.shape, rate)
+    m1d = _drop(r1, keepm, rate)
+    m2 = _mm(m1d, w["wf2"]) + w["bf2"]                             # (T, d)
+    keep2 = _hash_keep(seed, S_RES2, b, row0, m2.shape, rate)
+    z2 = _drop(m2, keep2, rate) + h1
+    out, xhat2, inv2 = _ln_fwd(z2, w["ln2s"], w["ln2b"])
+    return dict(xq=xq, q=q, heads=heads, attn=attn, keep1=keep1,
+                xhat1=xhat1, inv1=inv1, h1=h1, a1=a1, keepm=keepm, m1d=m1d,
+                keep2=keep2, xhat2=xhat2, inv2=inv2, out=out)
+
+
+def _unpack_w(refs):
+    return {name: refs[name][...].astype(jnp.float32)
+            for name in PARAM_NAMES}
+
+
+def _fwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
+                n_tiles):
+    w_refs = dict(zip(PARAM_NAMES, refs[:16]))
+    o_ref = refs[16]
+    b = pl.program_id(0)
+    w = _unpack_w(w_refs)
+    key_mask = mask_ref[0] != 0
+    x_f32 = x_ref[0].astype(jnp.float32)
+    k = _mm(x_f32, w["wk"]) + w["bk"]
+    v = _mm(x_f32, w["wv"]) + w["bv"]
+    seed = seed_ref[0, 0]
+
+    def tile(i, _):
+        t = _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads,
+                          scale, rate)
+        o_ref[0, pl.ds(i * TILE, TILE), :] = t["out"].astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+def _bwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
+                n_tiles):
+    w_refs = dict(zip(PARAM_NAMES, refs[:16]))
+    do_ref = refs[16]
+    dx_ref = refs[17]
+    g_refs = dict(zip(PARAM_NAMES, refs[18:34]))
+    dx_acc, dk_acc, dv_acc = refs[34], refs[35], refs[36]
+
+    b = pl.program_id(0)
+    w = _unpack_w(w_refs)
+    key_mask = mask_ref[0] != 0
+    x_f32 = x_ref[0].astype(jnp.float32)
+    k = _mm(x_f32, w["wk"]) + w["bk"]
+    v = _mm(x_f32, w["wv"]) + w["bv"]
+    seed = seed_ref[0, 0]
+    d = k.shape[-1]
+    Dh = d // num_heads
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    # zero the param-grad accumulators once, at the first grid cell
+    @pl.when(b == 0)
+    def _():
+        for name in PARAM_NAMES:
+            g_refs[name][...] = jnp.zeros_like(g_refs[name])
+
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def tile(i, _):
+        row0 = i * TILE
+        t = _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads,
+                          scale, rate)
+        do = do_ref[0, pl.ds(row0, TILE), :].astype(jnp.float32)
+
+        # LN2 backward
+        dz2, dg2, db2 = _ln_bwd(do, t["xhat2"], t["inv2"], w["ln2s"])
+        g_refs["ln2s"][...] += dg2
+        g_refs["ln2b"][...] += db2
+        dh1 = dz2                                   # residual branch
+        dm2 = (jnp.where(t["keep2"], dz2 * inv_keep, 0.0)
+               if rate > 0.0 else dz2)
+
+        # fc2 backward
+        g_refs["wf2"][...] += _mm(t["m1d"], dm2, ta=True)
+        g_refs["bf2"][...] += dm2.sum(axis=0)
+        dm1d = _mm(dm2, w["wf2"], tb=True)
+        da1 = dm1d
+        if rate > 0.0:
+            da1 = jnp.where(t["keepm"], da1 * inv_keep, 0.0)
+        da1 = jnp.where(t["a1"] > 0.0, da1, 0.0)
+
+        # fc1 backward
+        g_refs["wf1"][...] += _mm(t["h1"], da1, ta=True)
+        g_refs["bf1"][...] += da1.sum(axis=0)
+        dh1 = dh1 + _mm(da1, w["wf1"], tb=True)
+
+        # LN1 backward
+        dz1, dg1, db1 = _ln_bwd(dh1, t["xhat1"], t["inv1"], w["ln1s"])
+        g_refs["ln1s"][...] += dg1
+        g_refs["ln1b"][...] += db1
+        dxq = dz1                                   # residual branch
+        dproj = (jnp.where(t["keep1"], dz1 * inv_keep, 0.0)
+                 if rate > 0.0 else dz1)
+
+        # proj backward
+        g_refs["wp"][...] += _mm(t["attn"], dproj, ta=True)
+        g_refs["bp"][...] += dproj.sum(axis=0)
+        dattn = _mm(dproj, w["wp"], tb=True)        # (T, d)
+
+        # attention backward per head (concatenate dq parts — Mosaic has no
+        # scatter lowering for .at[].set on values)
+        dq_parts = []
+        for h in range(num_heads):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            p, keep, pd = t["heads"][h]
+            do_h = dattn[:, sl]
+            dv_acc[:, sl] += _mm(pd, do_h, ta=True)
+            dpd = _mm(do_h, v[:, sl], tb=True)
+            dp = (jnp.where(keep, dpd * inv_keep, 0.0)
+                  if rate > 0.0 else dpd)
+            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            dq_parts.append(_mm(ds, k[:, sl]) * scale)
+            dk_acc[:, sl] += _mm(ds, t["q"][:, sl], ta=True) * scale
+        dq = jnp.concatenate(dq_parts, axis=1)
+
+        # q projection backward
+        g_refs["wq"][...] += _mm(t["xq"], dq, ta=True)
+        g_refs["bq"][...] += dq.sum(axis=0)
+        dxq = dxq + _mm(dq, w["wq"], tb=True)
+
+        dx_acc[pl.ds(row0, TILE), :] = dxq
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+    # K/V projections: contributions through the whole sequence
+    g_refs["wk"][...] += _mm(x_f32, dk_acc[...], ta=True)
+    g_refs["bk"][...] += dk_acc[...].sum(axis=0)
+    g_refs["wv"][...] += _mm(x_f32, dv_acc[...], ta=True)
+    g_refs["bv"][...] += dv_acc[...].sum(axis=0)
+    dx = (dx_acc[...] + _mm(dk_acc[...], w["wk"], tb=True)
+          + _mm(dv_acc[...], w["wv"], tb=True))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _flatten_params(block: Dict[str, Any]):
+    a, m = block["attn"], block["mlp"]
+    return (a["q"]["w"], a["q"]["b"], a["k"]["w"], a["k"]["b"],
+            a["v"]["w"], a["v"]["b"], a["proj"]["w"], a["proj"]["b"],
+            block["ln1"]["scale"], block["ln1"]["bias"],
+            m["fc1"]["w"], m["fc1"]["b"], m["fc2"]["w"], m["fc2"]["b"],
+            block["ln2"]["scale"], block["ln2"]["bias"])
+
+
+def _unflatten_grads(flat):
+    g = dict(zip(PARAM_NAMES, flat))
+    return {
+        "attn": {"q": {"w": g["wq"], "b": g["bq"]},
+                 "k": {"w": g["wk"], "b": g["bk"]},
+                 "v": {"w": g["wv"], "b": g["bv"]},
+                 "proj": {"w": g["wp"], "b": g["bp"]}},
+        "mlp": {"fc1": {"w": g["wf1"], "b": g["bf1"]},
+                "fc2": {"w": g["wf2"], "b": g["bf2"]}},
+        "ln1": {"scale": g["ln1s"], "bias": g["ln1b"]},
+        "ln2": {"scale": g["ln2s"], "bias": g["ln2b"]},
+    }
+
+
+def _interpret():
+    if jax.default_backend() == "tpu":
+        return False
+    return pltpu.InterpretParams()
+
+
+def _w_specs(flat):
+    specs = []
+    for wv_ in flat:
+        if wv_.ndim == 2:
+            specs.append(pl.BlockSpec(wv_.shape, lambda b: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        else:
+            specs.append(pl.BlockSpec(wv_.shape, lambda b: (0,),
+                                      memory_space=pltpu.VMEM))
+    return specs
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "rate",
+                                             "interpret"))
+def _forward(x, mask, seed, flat_w, num_heads, scale, rate, interpret):
+    B, N, d = x.shape
+    kernel = functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
+                               rate=rate, n_tiles=N // TILE)
+    return pl.pallas_call(
+        kernel, grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            *_w_specs(flat_w),
+        ],
+        out_specs=pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, mask, seed, *flat_w)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "rate",
+                                             "interpret"))
+def _backward(x, mask, seed, flat_w, do, num_heads, scale, rate, interpret):
+    B, N, d = x.shape
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale,
+                               rate=rate, n_tiles=N // TILE)
+    # param-grad outputs revisit one block across the sequential grid
+    grad_specs = []
+    grad_shapes = []
+    for wv_ in flat_w:
+        if wv_.ndim == 2:
+            grad_specs.append(pl.BlockSpec(wv_.shape, lambda b: (0, 0),
+                                           memory_space=pltpu.VMEM))
+        else:
+            grad_specs.append(pl.BlockSpec(wv_.shape, lambda b: (0,),
+                                           memory_space=pltpu.VMEM))
+        grad_shapes.append(jax.ShapeDtypeStruct(wv_.shape, jnp.float32))
+    out = pl.pallas_call(
+        kernel, grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            *_w_specs(flat_w),
+            pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM), *grad_specs),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype), *grad_shapes),
+        scratch_shapes=[pltpu.VMEM((N, d), jnp.float32),
+                        pltpu.VMEM((N, d), jnp.float32),
+                        pltpu.VMEM((N, d), jnp.float32)],
+        interpret=interpret,
+    )(x, mask, seed, *flat_w, do)
+    return out[0], out[1:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_block_train(x, block_params, mask, seed, num_heads: int,
+                      scale: float, rate: float):
+    """Trainable fused encoder block.
+
+    x (B, N, d); block_params = a SimNet block dict; mask (B, 1, N) int8;
+    seed (1, 1) int32; N must be a multiple of 128.
+    """
+    flat_w = _flatten_params(block_params)
+    return _forward(x, mask, seed, flat_w, num_heads, scale, rate,
+                    _interpret())
+
+
+def _vjp_fwd(x, block_params, mask, seed, num_heads, scale, rate):
+    out = fused_block_train(x, block_params, mask, seed, num_heads, scale,
+                            rate)
+    return out, (x, block_params, mask, seed)
+
+
+def _vjp_bwd(num_heads, scale, rate, residuals, do):
+    x, block_params, mask, seed = residuals
+    flat_w = _flatten_params(block_params)
+    dx, flat_grads = _backward(x, mask, seed, flat_w, do.astype(x.dtype),
+                               num_heads, scale, rate, _interpret())
+    return dx, _unflatten_grads(flat_grads), None, None
+
+
+fused_block_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Host-replicable reference (for tests): the same block in dense XLA with the
+# identical hash masks.
+# ---------------------------------------------------------------------------
+
+def _ref_keep(seed, site, b, N, cols, rate):
+    tiles = N // TILE
+    rows = []
+    for i in range(tiles):
+        rows.append(_hash_keep(jnp.asarray(seed, jnp.int32), site, b,
+                               i * TILE, (TILE, cols), rate))
+    return jnp.concatenate(rows, axis=0)
+
+
+def block_reference_with_masks(x, block_params, bool_mask, seed, num_heads,
+                               scale, rate):
+    """Dense jnp implementation applying the identical hash masks."""
+    B, N, d = x.shape
+    Dh = d // num_heads
+    a, m = block_params["attn"], block_params["mlp"]
+    outs = []
+    for b in range(B):
+        xb = x[b].astype(jnp.float32)
+        q = xb @ a["q"]["w"] + a["q"]["b"]
+        k = xb @ a["k"]["w"] + a["k"]["b"]
+        v = xb @ a["v"]["w"] + a["v"]["b"]
+        heads = []
+        for h in range(num_heads):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            s = (q[:, sl] @ k[:, sl].T) * scale
+            s = jnp.where(bool_mask[b][None, :], NEG_INF, s)
+            p = jax.nn.softmax(s, axis=-1)
+            keep = _ref_keep(seed, S_ATTN * 8 + h, b, N, N, rate)
+            p = _drop(p, keep, rate)
+            heads.append(p @ v[:, sl])
+        attn = jnp.concatenate(heads, axis=1)
+        proj = attn @ a["proj"]["w"] + a["proj"]["b"]
+        z1 = _drop(proj, _ref_keep(seed, S_RES1, b, N, d, rate), rate) + xb
+        h1, _, _ = _ln_fwd(z1, block_params["ln1"]["scale"],
+                           block_params["ln1"]["bias"])
+        a1 = h1 @ m["fc1"]["w"] + m["fc1"]["b"]
+        r1 = jnp.maximum(a1, 0.0)
+        m1d = _drop(r1, _ref_keep(seed, S_MLP, b, N, a1.shape[1], rate), rate)
+        m2 = m1d @ m["fc2"]["w"] + m["fc2"]["b"]
+        z2 = _drop(m2, _ref_keep(seed, S_RES2, b, N, d, rate), rate) + h1
+        out, _, _ = _ln_fwd(z2, block_params["ln2"]["scale"],
+                            block_params["ln2"]["bias"])
+        outs.append(out)
+    return jnp.stack(outs).astype(x.dtype)

@@ -28,7 +28,7 @@ from vidsum_tpu.ops.losses import mse_with_mask_loss
 
 def make_dp_shardmap_finetune_step(cfg: ModelConfig,
                                    optimizer: optax.GradientTransformation,
-                                   mesh: Mesh, attn_impl: str = "pallas",
+                                   mesh: Mesh, attn_impl: str = "pallas_block",
                                    data_axis: str = "data") -> Callable:
     """Jitted ``step(params, opt_state, x, target, pad_mask, rng) ->
     (params, opt_state, loss)`` with the batch sharded over ``data_axis`` and

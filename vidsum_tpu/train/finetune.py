@@ -174,7 +174,8 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
         sharded_init = None
         attn_impl = cfg.train.attn_impl
         if attn_impl == "auto":
-            attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            attn_impl = ("pallas_block" if jax.default_backend() == "tpu"
+                         else "xla")
         step_fn = make_finetune_step(cfg.model, optimizer,
                                      attn_impl=attn_impl)
     eval_impl = ("pallas_block" if jax.default_backend() == "tpu" else "xla")

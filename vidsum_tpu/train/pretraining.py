@@ -50,7 +50,7 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
         sharded_init, step_fn = make_sharded_pretrain_step(cfg.model, pcfg,
                                                            optimizer, mesh)
     else:
-        attn_impl = ("pallas" if jax.default_backend() == "tpu"
+        attn_impl = ("pallas_block" if jax.default_backend() == "tpu"
                      else "xla")
         step_fn = make_pretrain_step(cfg.model, pcfg, optimizer,
                                      attn_impl=attn_impl)
