@@ -1,40 +1,71 @@
-"""Benchmark: frame-scoring throughput on the flagship SimNet scorer.
+"""Benchmark: frame-scoring + training throughput on the flagship scorer.
 
-Measures frames scored per second per chip (the BASELINE.json north-star
-metric; target >=5000 frames/sec/chip on TPU) for the ``run_finetune.sh``
-model (d_model 256, 4 heads, 4 layers) in bfloat16 over realistic padded
-video batches (B=32 videos x N=512 frame bucket).
+Primary metric (BASELINE.json north star, target >=5000 frames/sec/chip on
+TPU): inference frames scored per second per chip for the ``run_finetune.sh``
+model (d_model 256, 4 heads, 4 layers) in bfloat16 over B=32 x N=512 padded
+batches. Extra fields in the same JSON line (VERDICT r1 item 7):
 
-Methodology: K forwards chained through a ``lax.scan`` carry (each iteration's
-input depends on the previous output), executed as ONE device program and
-synced by a single host fetch. This defeats two artifacts of the experimental
-axon runtime observed here: ``block_until_ready`` returning before execution
-finishes (pipelined "throughput" above chip peak FLOPs) and a fixed ~30-40ms
-host-fetch RPC (measured separately on a trivial program and subtracted).
+- ``ragged_frames_per_sec``: REAL (non-padded) frames/sec over a realistic
+  SumMe/TVSum length mix spread across the production 128-multiple length
+  buckets — what a real val epoch sees, padding waste included.
+- ``train_frames_per_sec`` / ``train_ms_per_step``: the full fused-kernel
+  train step (fwd + bwd + coupled-wd Adam, dropout 0.3, rbg RNG) at
+  B=32 x N=512.
+- ``scoring_mfu`` / ``train_mfu``: model-FLOPs utilization against the chip's
+  bf16 peak (v5e: 197 TFLOP/s; override with VIDSUM_TPU_PEAK_TFLOPS).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever backend JAX selects (the real TPU under the driver; do not
-override JAX_PLATFORMS here).
+Methodology: K iterations linked by a data dependency inside one jitted
+``lax.scan`` program, synced by a single host fetch. This defeats two
+artifacts of the experimental axon runtime: ``block_until_ready`` returning
+before execution finishes and a fixed ~35 ms host-fetch RPC (measured on a
+trivial program and subtracted).
+
+Prints ONE JSON line. Runs on whatever backend JAX selects (the real TPU
+under the driver; do not override JAX_PLATFORMS here).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 TARGET_FRAMES_PER_SEC = 5000.0  # BASELINE.json north star, per chip
 B, N, K = 32, 512, 100
+K_RAGGED = 50
+K_TRAIN = 30
+PEAK_FLOPS = float(os.environ.get("VIDSUM_TPU_PEAK_TFLOPS", "197")) * 1e12
+
+# Realistic 2-fps video-length mix (SumMe 1-6.5 min, TVSum 2-10 min),
+# grouped into the production 128-multiple buckets: (bucket, real lengths).
+RAGGED_GROUPS = [
+    (128, [83, 97, 104, 112, 120, 126, 90, 118]),
+    (256, [147, 165, 193, 208, 226, 240, 252, 172]),
+    (384, [262, 289, 316, 340, 355, 371, 300, 330]),
+    (512, [395, 430, 455, 470, 490, 505, 412, 448]),
+]
+
+
+def _model_flops(cfg, b, n, train: bool) -> float:
+    """Dense-equivalent matmul FLOPs for one forward (x3 for a train step)."""
+    d, L = cfg.d_model, cfg.num_layers
+    per_layer = 8 * b * n * d * d + 16 * b * n * d * d + 4 * b * n * n * d
+    fwd = L * per_layer + 2 * b * n * cfg.in_features * d + 2 * b * n * d
+    return 3.0 * fwd if train else fwd
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import optax
     from jax import lax
 
     from vidsum_tpu.config import ModelConfig
     from vidsum_tpu.models import init_simnet, simnet_apply
+    from vidsum_tpu.ops.losses import mse_with_mask_loss
+    from vidsum_tpu.train.steps import make_optimizer
 
     cfg = ModelConfig(d_model=256, num_heads=4, num_layers=4, dropout=0.3,
                       compute_dtype="bfloat16")
@@ -44,27 +75,84 @@ def main() -> None:
     x0 = jnp.asarray(rng.normal(size=(B, N, 1024)), jnp.float32)
     pad_mask = jnp.zeros((B, N), bool)
 
-    def fwd(params, x):
-        s, _ = simnet_apply(params, cfg, x, pad_mask, deterministic=True,
+    def fwd(params, x, mask):
+        s, _ = simnet_apply(params, cfg, x, mask, deterministic=True,
                             attn_impl="pallas_block")
         return jax.nn.sigmoid(s[..., 0])
 
-    @jax.jit
-    def chained(params, x0):
-        def body(carry, _):
-            return fwd(params, x0 + carry[..., None] * 1e-6), ()
-        out, _ = lax.scan(body, jnp.zeros((B, N), jnp.float32), None, length=K)
-        return out
+    def chained_fwd(mask, k):
+        @jax.jit
+        def run(params, x0):
+            def body(carry, _):
+                return fwd(params, x0 + carry[..., None] * 1e-6, mask), ()
+            out, _ = lax.scan(body, jnp.zeros(x0.shape[:2], jnp.float32),
+                              None, length=k)
+            return out
+        return run
 
     @jax.jit
     def trivial(x):
         return x + 1.0
 
-    # warmup/compile both programs; the first host fetch through the tunnel
+    # --- build the ragged-bucket programs
+    ragged_progs = []
+    ragged_real_frames = 0
+    for bucket, lens in RAGGED_GROUPS:
+        bb = len(lens)
+        xb = jnp.asarray(rng.normal(size=(bb, bucket, 1024)), jnp.float32)
+        mb = jnp.asarray(np.arange(bucket)[None, :]
+                         >= np.asarray(lens)[:, None])
+        ragged_progs.append((chained_fwd(mb, K_RAGGED), xb))
+        ragged_real_frames += sum(lens)
+
+    # --- the fused-kernel train step. Chaining through lax.scan OOMs the
+    # scoped VMEM for the Pallas backward custom call inside a while body
+    # (17.4M > 16M limit, observed on v5e), so the chain is a Python loop of
+    # donated-buffer steps instead: each step's params depend on the
+    # previous step's output, and one final loss fetch syncs the chain.
+    optimizer = make_optimizer(1e-3, 1e-4)
+    target = jnp.asarray(rng.random((B, N)), jnp.float32)
+    base_key = jax.random.key(1234, impl="rbg")
+
+    def loss_fn(params, x, rng_key):
+        scores, _ = simnet_apply(params, cfg, x, pad_mask, rng=rng_key,
+                                 deterministic=False,
+                                 attn_impl="pallas_block")
+        return mse_with_mask_loss(scores, target, pad_mask)
+
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, x, i):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, jax.random.fold_in(base_key, i))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # private copy: train_step donates its params/opt buffers, and the
+    # forward benches must keep using the originals
+    train_params = jax.tree_util.tree_map(jnp.array, params)
+    train_state = [train_params, optimizer.init(train_params)]
+
+    def run_train_chain():
+        p, o = train_state
+        loss = None
+        for i in range(K_TRAIN):
+            p, o, loss = train_step(p, o, x0, jnp.int32(i))
+        train_state[0], train_state[1] = p, o
+        return np.asarray(loss)
+
+    main_prog = chained_fwd(pad_mask, K)
+
+    # warmup/compile everything; the first host fetch through the tunnel
     # occasionally hits a multi-minute cold path — retry once after a pause
     for attempt in range(2):
         try:
-            np.asarray(chained(params, x0))
+            np.asarray(main_prog(params, x0))
+            for prog, xb in ragged_progs:
+                np.asarray(prog(params, xb))
+            run_train_chain()
             np.asarray(trivial(jnp.zeros((4,))))
             break
         except Exception:
@@ -76,14 +164,32 @@ def main() -> None:
     np.asarray(trivial(jnp.zeros((4,))))
     rpc = time.perf_counter() - t0
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(chained(params, x0))
-        best = min(best, time.perf_counter() - t0)
+    def best_of(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return max(best - rpc, 1e-9)
 
-    per_fwd = max((best - rpc) / K, 1e-9)
+    # 1) dense scoring (the recorded north-star metric)
+    t_dense = best_of(lambda: np.asarray(main_prog(params, x0)))
+    per_fwd = t_dense / K
     frames_per_sec = B * N / per_fwd
+    scoring_mfu = _model_flops(cfg, B, N, False) / per_fwd / PEAK_FLOPS
+
+    # 2) ragged buckets (each its own fetch; subtract rpc per program)
+    t_ragged = 0.0
+    for prog, xb in ragged_progs:
+        t_ragged += best_of(lambda p=prog, x=xb: np.asarray(p(params, x)))
+    ragged_fps = ragged_real_frames * K_RAGGED / t_ragged
+
+    # 3) train step
+    t_train = best_of(run_train_chain)
+    per_step = t_train / K_TRAIN
+    train_fps = B * N / per_step
+    train_mfu = _model_flops(cfg, B, N, True) / per_step / PEAK_FLOPS
+
     n_chips = max(len(jax.devices()), 1)
     per_chip = frames_per_sec / n_chips
     print(json.dumps({
@@ -91,6 +197,11 @@ def main() -> None:
         "value": round(per_chip, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(per_chip / TARGET_FRAMES_PER_SEC, 3),
+        "ragged_frames_per_sec": round(ragged_fps / n_chips, 1),
+        "train_frames_per_sec": round(train_fps / n_chips, 1),
+        "train_ms_per_step": round(per_step * 1e3, 3),
+        "scoring_mfu": round(scoring_mfu, 4),
+        "train_mfu": round(train_mfu, 4),
     }))
 
 

@@ -1,0 +1,93 @@
+"""Device-eval parity: the jitted on-device summary program
+(ops/device_eval.py, ``eval_impl="device"``) must select exactly the shots
+the host bit-parity pipeline selects — verified on the committed golden
+fixture, on randomized videos, and through ``eval_metrics(impl="device")``.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from vidsum_tpu.data.datasets import UserSummaries
+from vidsum_tpu.ops.device_eval import device_generate_summary
+from vidsum_tpu.ops.metrics import eval_metrics
+from vidsum_tpu.ops.summary import generate_summary
+
+from tests.test_golden import GOLDEN, make_fixture
+
+
+def test_device_summaries_match_golden():
+    videos = make_fixture()
+    summaries = device_generate_summary([v[3] for v in videos],
+                                        [v[2] for v in videos],
+                                        [v[1] for v in videos],
+                                        [v[0] for v in videos])
+    got = {f"video_{i}": np.nonzero(s)[0].tolist()
+           for i, s in enumerate(summaries)}
+    with open(GOLDEN) as f:
+        want = json.load(f)
+    assert got == want
+
+
+def test_device_matches_host_on_random_videos():
+    rng = np.random.default_rng(2024)
+    bounds_l, scores_l, frames_l, picks_l = [], [], [], []
+    for _ in range(40):
+        n_picks = int(rng.integers(8, 300))
+        step = int(rng.integers(5, 30))
+        picks = np.arange(n_picks) * step
+        n_frames = int(picks[-1] + rng.integers(1, step + 1))
+        scores = rng.random(n_picks).astype(np.float32)
+        n_shots = int(rng.integers(2, min(40, n_frames)))
+        cuts = np.sort(rng.choice(np.arange(1, n_frames),
+                                  min(n_shots - 1, n_frames - 1),
+                                  replace=False))
+        bnd = np.concatenate([[0], cuts, [n_frames]])
+        bounds_l.append(np.stack([bnd[:-1], bnd[1:] - 1], axis=1))
+        scores_l.append(scores)
+        frames_l.append(n_frames)
+        picks_l.append(picks)
+
+    host = generate_summary(bounds_l, scores_l, frames_l, picks_l)
+    dev = device_generate_summary(bounds_l, scores_l, frames_l, picks_l)
+    for i, (h, d) in enumerate(zip(host, dev)):
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(d),
+                                      err_msg=f"video {i}")
+
+
+def test_device_tiny_budget_empty_summary():
+    """budget_ratio so small every shot exceeds it -> empty summary on both
+    paths, no crash (quirk ledger: host returns F=0.0 there)."""
+    bounds = [np.asarray([[0, 49], [50, 99]])]
+    scores = [np.linspace(0.1, 0.9, 10).astype(np.float32)]
+    host = generate_summary(bounds, scores, [100], [np.arange(10) * 10],
+                            budget_ratio=0.01)
+    dev = device_generate_summary(bounds, scores, [100], [np.arange(10) * 10],
+                                  budget_ratio=0.01)
+    np.testing.assert_array_equal(host[0], dev[0])
+    assert dev[0].sum() == 0
+
+
+def test_eval_metrics_device_impl_matches_host():
+    rng = np.random.default_rng(5)
+    sd, ud = {}, {}
+    for i in range(4):
+        n_picks = int(rng.integers(30, 90))
+        picks = np.arange(n_picks) * 15
+        n_frames = int(picks[-1] + 7)
+        bnd = np.concatenate([[0],
+                              np.sort(rng.choice(np.arange(1, n_frames), 6,
+                                                 replace=False)),
+                              [n_frames]])
+        cps = np.stack([bnd[:-1], bnd[1:] - 1], axis=1)
+        user_summary = (rng.random((5, n_frames)) < 0.15).astype(np.int32)
+        user_scores = rng.random((5, n_frames)).astype(np.float32)
+        name = f"video_{i}"
+        sd[name] = rng.random(n_picks).astype(np.float32)
+        ud[name] = UserSummaries(user_summary=user_summary,
+                                 user_scores=user_scores, change_points=cps,
+                                 n_frames=n_frames, picks=picks, name=name)
+    host = eval_metrics(sd, ud, impl="host")
+    dev = eval_metrics(sd, ud, impl="device")
+    np.testing.assert_allclose(host, dev, rtol=0, atol=0)

@@ -1,0 +1,117 @@
+"""Statistical validation of the counter-based hash dropout masks.
+
+The fused train kernels (ops/block_train.py, ops/attention_train.py) draw
+dropout masks from a murmur-style fmix hash over (seed, site, batch,
+position) instead of torch's PRNG or jax.random.bernoulli. Gradient tests
+already prove fwd/bwd mask *identity*; these tests prove the masks are the
+right *distribution* — a biased hash would silently change the effective
+dropout rate and training dynamics vs the reference
+(src/model/simnet.py:107,162 applies plain nn.Dropout at rate 0.3).
+
+Checks: per-site keep-rate within a tight binomial CI of (1-rate);
+per-position keep-rate across seeds (positional bias); independence across
+sites, spatial lags, batch indices, and seeds (correlation bounds at 5-6
+sigma of the null)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vidsum_tpu.ops.block_train import (
+    S_ATTN, S_MLP, S_RES1, S_RES2, _hash_keep,
+)
+
+RATE = 0.3
+KEEP = 1.0 - RATE
+SHAPE = (128, 512)
+N = SHAPE[0] * SHAPE[1]
+SIGMA_RATE = (KEEP * RATE / N) ** 0.5          # ~0.0018 at this N
+SIGMA_CORR = 1.0 / N ** 0.5                    # ~0.0039
+
+SITES = [S_ATTN * 8 + h for h in range(4)] + [S_RES1, S_MLP, S_RES2]
+
+
+def _mask(seed=7, site=S_RES1, b=0, row0=0, shape=SHAPE, rate=RATE):
+    m = _hash_keep(jnp.asarray(seed, jnp.int32), site, b, row0, shape, rate)
+    return np.asarray(m)
+
+
+def _corr(a, b):
+    a = a.ravel().astype(np.float64)
+    b = b.ravel().astype(np.float64)
+    a -= a.mean()
+    b -= b.mean()
+    denom = (a @ a) ** 0.5 * (b @ b) ** 0.5
+    return float(a @ b / denom)
+
+
+def test_keep_rate_per_site():
+    for site in SITES:
+        rate_hat = _mask(site=site).mean()
+        assert abs(rate_hat - KEEP) < 5 * SIGMA_RATE, (site, rate_hat)
+
+
+def test_keep_rate_other_rates():
+    for rate in (0.1, 0.2, 0.5):
+        rate_hat = _mask(rate=rate).mean()
+        sigma = (rate * (1 - rate) / N) ** 0.5
+        assert abs(rate_hat - (1 - rate)) < 5 * sigma, (rate, rate_hat)
+
+
+def test_positionwise_keep_rate_across_seeds():
+    """Each individual position must keep with p=(1-rate) across seeds —
+    catches a hash that is uniform on average but biased per position."""
+    n_seeds = 256
+    shape = (128, 128)
+    acc = np.zeros(shape, np.float64)
+    for seed in range(n_seeds):
+        acc += _mask(seed=seed * 2654435761 % (2**31), shape=shape)
+    freq = acc / n_seeds
+    sigma = (KEEP * RATE / n_seeds) ** 0.5     # ~0.029
+    # global mean: very tight (n_seeds * 128 * 128 samples)
+    assert abs(freq.mean() - KEEP) < 5 * (KEEP * RATE / (n_seeds * freq.size)) ** 0.5
+    # worst position: 6-sigma bound; with 16384 positions the expected max
+    # |dev| under the null is ~4.2 sigma
+    assert np.abs(freq - KEEP).max() < 6 * sigma
+
+
+def test_independence_across_sites():
+    masks = {s: _mask(site=s) for s in SITES}
+    for i, si in enumerate(SITES):
+        for sj in SITES[i + 1:]:
+            assert abs(_corr(masks[si], masks[sj])) < 5 * SIGMA_CORR, (si, sj)
+
+
+def test_independence_across_spatial_lags():
+    m = _mask().astype(np.float64)
+    # adjacent rows, adjacent cols, and the MXU-relevant lag of 128 cols
+    for a, b in [(m[1:], m[:-1]), (m[:, 1:], m[:, :-1]),
+                 (m[:, 128:], m[:, :-128])]:
+        n = a.size
+        assert abs(_corr(a, b)) < 5 / n ** 0.5
+
+
+def test_independence_across_batch_and_row0():
+    base = _mask(b=0, row0=0)
+    assert abs(_corr(base, _mask(b=1, row0=0))) < 5 * SIGMA_CORR
+    assert abs(_corr(base, _mask(b=0, row0=128))) < 5 * SIGMA_CORR
+
+
+def test_independence_across_seeds():
+    base = _mask(seed=7)
+    for seed in (8, 9, 12345):
+        assert abs(_corr(base, _mask(seed=seed))) < 5 * SIGMA_CORR
+
+
+def test_row_keep_rates_unbiased():
+    """Mean keep per row (the per-query attention-dropout budget) must not
+    drift with the row index — a row-correlated hash would down-weight late
+    frames during training."""
+    m = _mask(shape=(512, 512)).astype(np.float64)
+    row_rate = m.mean(axis=1)
+    sigma_row = (KEEP * RATE / 512) ** 0.5     # per-row CI
+    assert np.abs(row_rate - KEEP).max() < 5.5 * sigma_row
+    # no linear trend: regression slope consistent with zero
+    x = np.arange(512) - 255.5
+    slope = (x @ (row_rate - row_rate.mean())) / (x @ x)
+    se = sigma_row / (x @ x) ** 0.5
+    assert abs(slope) < 5 * se

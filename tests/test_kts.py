@@ -110,3 +110,27 @@ def test_segment_dispatch():
     assert get_segment_fn("uniform") is uniform_segmentation
     with pytest.raises(NotImplementedError):
         get_segment_fn("nope")
+
+
+def test_kts_segmentation_jax_matches_host_auto_selection():
+    """The fully on-device auto-KTS (one program: DP scan + penalized count
+    selection + masked backtrack) must agree with the float64 host path on
+    well-separated segments (f32-vs-f64 near-ties are the only legitimate
+    divergence)."""
+    from vidsum_tpu.ops.kts import kts_segmentation_jax
+
+    rng = np.random.default_rng(21)
+    feats = planted_features(rng, [30, 25, 40, 20, 35])
+    K64 = gram(feats)
+    cps_host, costs_host = kts_segmentation(K64, 12, vmax=1.0)
+
+    cps_pad, m_best, costs_dev = kts_segmentation_jax(
+        K64.astype(np.float32), 12, vmax=1.0)
+    m_best = int(m_best)
+    assert m_best == len(cps_host)
+    np.testing.assert_array_equal(np.asarray(cps_pad)[:m_best], cps_host)
+    # selection is the contract (exact above); the f32 cost values
+    # themselves carry scatter-matrix rounding at this magnitude
+    finite = np.isfinite(costs_host)
+    np.testing.assert_allclose(np.asarray(costs_dev)[finite],
+                               costs_host[finite], rtol=5e-2, atol=2e-3)

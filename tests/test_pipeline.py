@@ -76,3 +76,56 @@ def test_cli_summarize_smoke(video_path, tmp_path, monkeypatch):
         rec = json.load(f)
     assert rec["n_frames"] == 120
     assert all(isinstance(i, int) for i in rec["selected_frames"])
+
+
+def test_summarize_long_video_seq_sharded(monkeypatch):
+    """>2,500 sampled frames through the full raw-video path with the
+    sequence axis sharded over the 8-device mesh and on-device auto-KTS:
+    decode -> features -> ring-attention scoring -> KTS -> knapsack, no
+    dense N x N attention anywhere (VERDICT r1 item 8). Scores must match
+    the dense single-device path (exact ring attention)."""
+    import jax
+    from jax.sharding import Mesh
+
+    import vidsum_tpu.pipeline as pl
+
+    N_REAL, STEP = 2560, 15
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (N_REAL, 32, 32, 3), dtype=np.uint8)
+    picks = np.arange(N_REAL) * STEP
+    n_frames = N_REAL * STEP
+
+    def fake_reduce_fps(path, fps=2):
+        return frames, picks, n_frames
+
+    # the package re-exports the function under the module's name; resolve
+    # the actual module (summarize_video imports from it at call time)
+    import importlib
+    import sys
+
+    importlib.import_module("vidsum_tpu.preprocess.reduce_fps")
+    rf = sys.modules["vidsum_tpu.preprocess.reduce_fps"]
+    monkeypatch.setattr(rf, "reduce_fps", fake_reduce_fps)
+
+    cfg = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.0,
+                      max_len=2000)  # N_REAL > max_len: PE table must grow
+    scorer = init_simnet(jax.random.PRNGKey(0), cfg)
+    google = init_googlenet(jax.random.PRNGKey(1))
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, 8), ("data", "seq"))
+    out = summarize_video("ignored.mp4", scorer, cfg, google, fps=2,
+                          size=32, mesh=mesh, kts_impl="device")
+    assert out.n_frames == n_frames
+    assert out.summary.shape == (n_frames,)
+    assert out.summary.sum() <= int(n_frames * 0.15)
+    assert np.isfinite(out.scores).all()
+    assert out.scores.shape == (N_REAL,)
+    assert out.change_points[0, 0] == 0
+    assert out.change_points[-1, 1] == n_frames - 1
+    assert len(out.change_points) > 10  # auto-KTS found real structure
+
+    # ring attention is exact: dense single-device scores must agree
+    dense = summarize_video("ignored.mp4", scorer, cfg, google, fps=2,
+                            size=32)
+    np.testing.assert_allclose(out.scores, dense.scores, rtol=2e-4,
+                               atol=2e-5)

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -100,3 +102,82 @@ def test_prepare_video():
                                               dtype=np.uint8)
     out = prepare_video(video, 32, "google")
     assert out.shape == (3, 32, 43, 3) and out.dtype == np.float32
+
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "data",
+                       "backbone_goldens.npz")
+
+
+def test_googlenet_golden_features():
+    """Committed fp64 golden pool5 features (VERDICT r1 item 5): the torch
+    mirror must still reproduce them (mirror/torch drift) and the JAX
+    converter+forward must match them at f32 tolerance (converter drift)."""
+    g = np.load(GOLDENS)
+    torch.manual_seed(0)
+    mirror = GoogLeNetMirror().double().eval()
+    randomize_bn_stats(mirror, 1)
+    with torch.no_grad():
+        re_run = mirror(torch.tensor(g["google_in"])).numpy()
+    np.testing.assert_allclose(re_run, g["google_pool5"], rtol=1e-10)
+
+    params = googlenet_from_torch_state(
+        {k: v.numpy() for k, v in mirror.state_dict().items()})
+    x = np.transpose(g["google_in"], (0, 2, 3, 1)).astype(np.float32)
+    got = np.asarray(googlenet_apply(params, x))
+    np.testing.assert_allclose(got, g["google_pool5"], rtol=1e-3, atol=1e-4)
+
+
+def test_r3d18_golden_features():
+    g = np.load(GOLDENS)
+    torch.manual_seed(2)
+    mirror = R3D18Mirror().double().eval()
+    randomize_bn_stats(mirror, 3)
+    with torch.no_grad():
+        re_run = mirror(torch.tensor(g["r3d_in"])).numpy()
+    np.testing.assert_allclose(re_run, g["r3d_embed"], rtol=1e-10)
+
+    params = r3d18_from_torch_state(
+        {k: v.numpy() for k, v in mirror.state_dict().items()})
+    x = np.transpose(g["r3d_in"], (0, 2, 3, 4, 1)).astype(np.float32)
+    got = np.asarray(r3d18_apply(params, x))
+    np.testing.assert_allclose(got, g["r3d_embed"], rtol=1e-3, atol=1e-4)
+
+
+def test_converter_key_coverage_catches_renames():
+    """A renamed torchvision key must fail the conversion loudly instead of
+    silently dropping weights (strict coverage check)."""
+    torch.manual_seed(0)
+    state = {k: v.numpy() for k, v in GoogLeNetMirror().state_dict().items()}
+    # converter must consume every key of the canonical layout
+    googlenet_from_torch_state(dict(state))
+
+    renamed = dict(state)
+    w = renamed.pop("inception5b.branch4.1.conv.weight")
+    renamed["inception5b.branch4.2.conv.weight"] = w
+    with pytest.raises((ValueError, KeyError)):
+        googlenet_from_torch_state(renamed)
+
+    extra = dict(state)
+    extra["inception9z.branch1.conv.weight"] = state["conv2.conv.weight"]
+    with pytest.raises(ValueError, match="not consumed"):
+        googlenet_from_torch_state(extra)
+
+    torch.manual_seed(2)
+    r_state = {k: v.numpy() for k, v in R3D18Mirror().state_dict().items()}
+    r3d18_from_torch_state(dict(r_state))
+    r_extra = dict(r_state)
+    r_extra["layer9.0.conv1.0.weight"] = r_state["stem.0.weight"]
+    with pytest.raises(ValueError, match="not consumed"):
+        r3d18_from_torch_state(r_extra)
+
+
+def test_converter_ignores_stripped_heads():
+    """Real torchvision states carry aux/fc/dropout heads the reference
+    strips (models.py:20,50); strict coverage must not trip on them."""
+    torch.manual_seed(0)
+    state = {k: v.numpy() for k, v in GoogLeNetMirror().state_dict().items()}
+    state["fc.weight"] = np.zeros((1000, 1024), np.float32)
+    state["fc.bias"] = np.zeros((1000,), np.float32)
+    state["aux1.conv.conv.weight"] = np.zeros((128, 512, 1, 1), np.float32)
+    state["conv1.bn.num_batches_tracked"] = np.asarray(0)
+    googlenet_from_torch_state(state)  # must not raise

@@ -127,6 +127,14 @@ def randomize_bn_stats(model, seed=0):
                 m.bias.copy_(torch.randn(m.num_features, generator=g) * 0.1)
 
 
+def _keep_drop(x, keep_mask, rate):
+    """Dropout with an externally supplied boolean keep mask (mirrors
+    vidsum_tpu.models.simnet._apply_keep for lockstep parity tests)."""
+    if rate == 0.0:
+        return x
+    return torch.where(keep_mask, x / (1.0 - rate), torch.zeros_like(x))
+
+
 class ScorerAttention(nn.Module):
     """Reference-semantics MHA: separate q/k/v, scale d_model**-0.5,
     key-mask -inf fill, weight dropout, output projection."""
@@ -141,7 +149,7 @@ class ScorerAttention(nn.Module):
         self.dropout = nn.Dropout(dropout)
         self.feature_projection = nn.Linear(d_model, d_model)
 
-    def forward(self, x, mask=None):
+    def forward(self, x, mask=None, attn_keep=None):
         B, N, D = x.shape
         q = self.q(x).view(B, N, self.h, -1).transpose(1, 2)
         k = self.k(x).view(B, N, self.h, -1).transpose(1, 2)
@@ -149,7 +157,11 @@ class ScorerAttention(nn.Module):
         s = q @ k.transpose(2, 3) * self.scale
         if mask is not None:
             s = s.masked_fill(mask[:, None, None, :], float("-inf"))
-        w = self.dropout(torch.softmax(s, dim=3))
+        w = torch.softmax(s, dim=3)
+        if attn_keep is not None:
+            w = _keep_drop(w, attn_keep, self.dropout.p)
+        else:
+            w = self.dropout(w)
         out = (w @ v).transpose(1, 2).reshape(B, N, D)
         return self.feature_projection(out)
 
@@ -167,10 +179,17 @@ class ScorerBlock(nn.Module):
         self.norm2 = nn.LayerNorm(d_model)
         self.drop = nn.Dropout(dropout)
 
-    def forward(self, x, mask=None):
-        x = self.norm1(self.drop(self.sa(x, mask)) + x)
-        h = self.mlp.fc2(self.drop(torch.relu(self.mlp.fc1(x))))
-        return self.norm2(self.drop(h) + x)
+    def forward(self, x, mask=None, masks=None):
+        if masks is None:
+            x = self.norm1(self.drop(self.sa(x, mask)) + x)
+            h = self.mlp.fc2(self.drop(torch.relu(self.mlp.fc1(x))))
+            return self.norm2(self.drop(h) + x)
+        p = self.drop.p
+        sa = self.sa(x, mask, attn_keep=masks["attn"])
+        x = self.norm1(_keep_drop(sa, masks["res1"], p) + x)
+        h = _keep_drop(torch.relu(self.mlp.fc1(x)), masks["mlp"], p)
+        h = self.mlp.fc2(h)
+        return self.norm2(_keep_drop(h, masks["res2"], p) + x)
 
 
 class ScorerMirror(nn.Module):
@@ -197,9 +216,49 @@ class ScorerMirror(nn.Module):
              for _ in range(num_layers)])
         self.final_layer = nn.Linear(d_model, 1)
 
-    def forward(self, x, mask=None):
+    def forward(self, x, mask=None, dropout_masks=None):
         h = self.embedding_layer.feature_transform(x)
         h = h + self.pe[: h.shape[1]].unsqueeze(0)
-        for block in self.encoder.module_list:
-            h = block(h, mask)
+        for i, block in enumerate(self.encoder.module_list):
+            h = block(h, mask,
+                      dropout_masks[i] if dropout_masks is not None else None)
         return self.final_layer(h), h
+
+
+class PretrainMirror(nn.Module):
+    """Reference-semantics PretrainModel mirror: ScorerMirror encoder +
+    Linear d_model→512 video transform, the three losses of
+    ``src/model/simnet_pretrain.py:35-100`` (masked -inf softmax over frames,
+    sharpening temperature, entropy of mixture+1e-9, off-diagonal cosine
+    repelling, softmax-vs-softmax cross-entropy)."""
+
+    def __init__(self, d_model=64, num_heads=4, num_layers=2, dropout=0.0,
+                 max_len=256, in_features=1024, sharpening_t=0.4,
+                 video_dim=512):
+        super().__init__()
+        self.encoder = ScorerMirror(d_model, num_heads, num_layers, dropout,
+                                    max_len, in_features)
+        self.video_transform = nn.Linear(d_model, video_dim)
+        self.t = sharpening_t
+
+    def forward(self, x, video_rep, mask):
+        scores, feats = self.encoder(x, mask)
+        feats = self.video_transform(feats)
+
+        xm = feats * (~mask).unsqueeze(2)
+        xn = xm / (xm.norm(dim=2, keepdim=True) + 1e-9)
+        sim = torch.matmul(xn, xn.transpose(1, 2))
+        eye = (torch.eye(x.shape[1]) == 0).float().unsqueeze(0)
+        repel = (sim * eye).mean(dim=1).mean()
+
+        s = scores.masked_fill(mask.unsqueeze(2), float("-inf"))
+        mixture = torch.softmax(s / self.t, dim=1)
+        ent = (mixture + 1e-9) * torch.log(mixture + 1e-9)
+        ent = ent.masked_fill(mask.unsqueeze(2), 0.0)
+        center = ent.mean(dim=1).mean()
+
+        agg = torch.matmul(mixture.transpose(1, 2), feats).squeeze(1)
+        p1 = torch.softmax(agg, dim=1)
+        p2 = torch.softmax(video_rep, dim=1)
+        main = (-p2 * torch.log(p1)).mean()
+        return main, center, repel

@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="raise on the first NaN the compiler sees "
                         "(jax debug_nans; the jit-purity analogue of "
                         "a sanitizer run)")
+    p.add_argument("--eval_impl", type=str, default="host",
+                   choices=("host", "device"),
+                   help="summary pipeline for val epochs: 'host' = "
+                        "bit-parity NumPy/C++ (default), 'device' = one "
+                        "jitted XLA program per video")
     return p
 
 
@@ -77,7 +82,7 @@ def config_from_args(args) -> Config:
         data=DataConfig(root=args.data, ex_dataset=args.ex_dataset,
                         datasets=args.datasets,
                         length_bucket=args.length_bucket),
-        eval=EvalConfig(),
+        eval=EvalConfig(impl=getattr(args, "eval_impl", "host")),
         train=TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
                           batch_size=args.batch_size,
                           max_epoch=args.max_epoch,

@@ -122,9 +122,18 @@ def _dropout(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarr
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+def _apply_keep(x: jnp.ndarray, keep_mask, rate: float) -> jnp.ndarray:
+    """Dropout with an externally supplied boolean keep mask (used by the
+    cross-framework lockstep parity tests to feed bit-identical masks here
+    and into a torch mirror)."""
+    if rate == 0.0:
+        return x
+    return jnp.where(keep_mask, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def _attention(p: Params, x: jnp.ndarray, pad_mask, cfg: ModelConfig,
                rng, deterministic: bool, return_weights: bool,
-               attn_impl: str, attn_fn=None):
+               attn_impl: str, attn_fn=None, attn_keep=None):
     """Multi-head self-attention (reference: simnet.py:117-164)."""
     B, N, _ = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
@@ -161,7 +170,10 @@ def _attention(p: Params, x: jnp.ndarray, pad_mask, cfg: ModelConfig,
             # key mask: (B, N) → (B, 1, 1, N); True = padded → -inf
             scores = jnp.where(pad_mask[:, None, None, :], -jnp.inf, scores)
         weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        dropped = _dropout(weights, cfg.dropout, rng, deterministic)
+        if attn_keep is not None and not deterministic:
+            dropped = _apply_keep(weights, attn_keep, cfg.dropout)
+        else:
+            dropped = _dropout(weights, cfg.dropout, rng, deterministic)
         out = jnp.einsum("bhnm,bhmd->bhnd", dropped, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, N, H * Dh)
@@ -170,10 +182,13 @@ def _attention(p: Params, x: jnp.ndarray, pad_mask, cfg: ModelConfig,
 
 
 def _mlp(p: Params, x: jnp.ndarray, cfg: ModelConfig, rng,
-         deterministic: bool) -> jnp.ndarray:
+         deterministic: bool, mlp_keep=None) -> jnp.ndarray:
     """2-layer FFN, dropout after ReLU only (reference: simnet.py:167-183)."""
     h = jax.nn.relu(_linear(p["fc1"], x))
-    h = _dropout(h, cfg.dropout, rng, deterministic)
+    if mlp_keep is not None and not deterministic:
+        h = _apply_keep(h, mlp_keep, cfg.dropout)
+    else:
+        h = _dropout(h, cfg.dropout, rng, deterministic)
     return _linear(p["fc2"], h)
 
 
@@ -181,7 +196,8 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
                  pad_mask: Optional[jnp.ndarray] = None, *,
                  rng=None, deterministic: bool = True,
                  model_score: bool = False, return_attn: bool = False,
-                 attn_impl: str = "xla", attn_fn=None, pos_offset=None):
+                 attn_impl: str = "xla", attn_fn=None, pos_offset=None,
+                 pe_len: Optional[int] = None, dropout_masks=None):
     """Run the scorer.
 
     :param x: (B, N, 1024) frame features.
@@ -193,13 +209,23 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
         attention op (used by the sequence-parallel ring forward).
     :param pos_offset: optional scalar global position of ``x[:, 0]`` for the
         positional encoding (nonzero when the sequence axis is sharded).
+    :param pe_len: PE-table length override — REQUIRED to be the *global*
+        sequence length when ``pos_offset`` is used, else positions past
+        ``max(max_len, N_local)`` would slice a too-short table (clamped =
+        silently wrong encodings; caught by the >2,500-frame sharded
+        pipeline test).
+    :param dropout_masks: optional per-layer list of boolean *keep*-mask
+        dicts ``{"attn": (B,H,N,N), "res1": (B,N,d), "mlp": (B,N,4d),
+        "res2": (B,N,d)}`` replacing the internal RNG draws — used by the
+        cross-framework lockstep tests to inject bit-identical masks here
+        and into a torch mirror. Dense XLA path only.
     :returns: ``(scores, hidden)`` — (B, N(+1 if cls), num_classes) logits and
         the final hidden states; with ``return_attn`` also a list of per-layer
         attention maps. ``model_score`` mirrors the reference's flag (its dead
         score branch makes both returns identical, simnet.py:66-83).
     """
     del model_score  # reference quirk: both branches return the same tensors
-    if not deterministic and rng is None:
+    if not deterministic and rng is None and dropout_masks is None:
         raise ValueError("rng is required when deterministic=False")
 
     compute_dtype = jnp.dtype(cfg.compute_dtype)
@@ -209,7 +235,8 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
     # Embedding: Linear 1024→d + PE (reference: simnet.py:186-217)
     h = _linear(params["embed"], x)
     if cfg.use_pos:
-        pe = positional_encoding_table(max(cfg.max_len, N), cfg.d_model)
+        pe = positional_encoding_table(max(cfg.max_len, pe_len or 0, N),
+                                       cfg.d_model)
         if pos_offset is not None:
             pe = jax.lax.dynamic_slice_in_dim(
                 jnp.asarray(pe), pos_offset, N, axis=0)
@@ -231,6 +258,7 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
                        and not cfg.norm_first and deterministic)
     use_fused_block_train = (attn_impl == "pallas_block" and not return_attn
                              and not cfg.norm_first and not deterministic
+                             and dropout_masks is None
                              and h.shape[1] % 128 == 0)
     attn_maps: List[jnp.ndarray] = []
     for layer_idx, block in enumerate(params["blocks"]):
@@ -260,22 +288,30 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
             rng, r_attn, r_d1, r_mlp, r_d2 = jax.random.split(rng, 5)
         else:
             r_attn = r_d1 = r_mlp = r_d2 = None
+        lm = dropout_masks[layer_idx] if dropout_masks is not None else None
+
+        def _res_drop(t, key, r):
+            if lm is not None and not deterministic:
+                return _apply_keep(t, lm[key], cfg.dropout)
+            return _dropout(t, cfg.dropout, r, deterministic)
+
+        attn_keep = lm["attn"] if lm is not None else None
+        mlp_keep = lm["mlp"] if lm is not None else None
         if cfg.norm_first:
             sa, w = _attention(block["attn"], _layernorm(block["ln1"], h),
                                pad_mask, cfg, r_attn, deterministic,
-                               return_attn, attn_impl, attn_fn)
-            h = h + _dropout(sa, cfg.dropout, r_d1, deterministic)
+                               return_attn, attn_impl, attn_fn, attn_keep)
+            h = h + _res_drop(sa, "res1", r_d1)
             ff = _mlp(block["mlp"], _layernorm(block["ln2"], h), cfg, r_mlp,
-                      deterministic)
-            h = h + _dropout(ff, cfg.dropout, r_d2, deterministic)
+                      deterministic, mlp_keep)
+            h = h + _res_drop(ff, "res2", r_d2)
         else:
             sa, w = _attention(block["attn"], h, pad_mask, cfg, r_attn,
-                               deterministic, return_attn, attn_impl, attn_fn)
-            h = _layernorm(block["ln1"], _dropout(sa, cfg.dropout, r_d1,
-                                                  deterministic) + h)
-            ff = _mlp(block["mlp"], h, cfg, r_mlp, deterministic)
-            h = _layernorm(block["ln2"], _dropout(ff, cfg.dropout, r_d2,
-                                                  deterministic) + h)
+                               deterministic, return_attn, attn_impl,
+                               attn_fn, attn_keep)
+            h = _layernorm(block["ln1"], _res_drop(sa, "res1", r_d1) + h)
+            ff = _mlp(block["mlp"], h, cfg, r_mlp, deterministic, mlp_keep)
+            h = _layernorm(block["ln2"], _res_drop(ff, "res2", r_d2) + h)
         if return_attn:
             attn_maps.append(w)
 

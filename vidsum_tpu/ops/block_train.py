@@ -29,8 +29,14 @@ TILE = 128
 LN_EPS = 1e-5
 NEG_INF = float("-inf")
 
-# dropout sites
-S_ATTN, S_RES1, S_MLP, S_RES2 = 0, 1, 2, 3
+# dropout sites: attention head h hashes with site == S_ATTN*8 + h == h, so
+# heads occupy sites [0, num_heads); the remaining sites start at 32 to stay
+# disjoint for any plausible head count. (A previous numbering of 1/2/3
+# collided with heads 1-3, making those heads' attention masks equal to the
+# res1/mlp/res2 masks on overlapping coordinates — caught by
+# tests/test_dropout_stats.py::test_independence_across_sites.)
+S_ATTN, S_RES1, S_MLP, S_RES2 = 0, 32, 33, 34
+MAX_HASH_HEADS = 32
 
 # flat parameter order (all 2-D weights (in, out), 1-D biases/LN vectors)
 PARAM_NAMES = ("wq", "bq", "wk", "bk", "wv", "bv", "wp", "bp",
@@ -367,6 +373,8 @@ def fused_block_train(x, block_params, mask, seed, num_heads: int,
     x (B, N, d); block_params = a SimNet block dict; mask (B, 1, N) int8;
     seed (1, 1) int32; N must be a multiple of 128.
     """
+    assert num_heads <= MAX_HASH_HEADS, (
+        f"dropout site encoding supports <= {MAX_HASH_HEADS} heads")
     flat_w = _flatten_params(block_params)
     return _forward(x, mask, seed, flat_w, num_heads, scale, rate,
                     _interpret())

@@ -74,13 +74,16 @@ def knapsack(W: int, wt: Sequence[int], val: Sequence[float],
     return selected
 
 
-def knapsack_jax(W: int, wt, val):
+def knapsack_jax(W: int, wt, val, budget=None):
     """Jittable knapsack: returns a boolean selection mask of shape (n,).
 
-    ``W`` must be static (table width is a shape). DP rows stream through a
-    ``lax.scan`` over shots; the backtrack is a reverse scan over the saved
-    rows. Use for fully on-device eval; the NumPy path remains the parity
-    oracle.
+    ``W`` must be static (table width is a shape); ``budget`` is an optional
+    *dynamic* capacity <= W for bucketed shapes (defaults to W). DP rows
+    stream through a ``lax.scan`` over shots; the backtrack is a reverse scan
+    over the saved rows. Zero-weight/zero-value padding rows are never
+    selected (``rows[i+1, w] == rows[i, w]``). This is the DP behind the
+    ``eval_impl="device"`` path (:mod:`vidsum_tpu.ops.device_eval`); the
+    NumPy/C++ float64 path remains the bit-parity oracle.
     """
     import jax
     import jax.numpy as jnp
@@ -109,6 +112,8 @@ def knapsack_jax(W: int, wt, val):
         w_next = jnp.where(take, w - wt[i], w)
         return w_next, take
 
-    _, taken_rev = jax.lax.scan(backward, jnp.asarray(W, jnp.int32),
+    start = (jnp.asarray(W, jnp.int32) if budget is None
+             else jnp.clip(budget, 0, W).astype(jnp.int32))
+    _, taken_rev = jax.lax.scan(backward, start,
                                 jnp.arange(n - 1, -1, -1))
     return taken_rev[::-1]

@@ -166,16 +166,14 @@ def calc_scatters_jax(K):
     return jnp.where(j >= i, scatters, 0.0)
 
 
-def cpd_nonlin_jax(K, ncp: int, lmin: int = 1, lmax: int = 100000):
-    """Jittable DP over a static change-point count. Returns (cps, scores).
-
-    ``lax.scan`` over k; each step builds the masked candidate matrix and
-    takes a column-wise min/argmin (earliest-t ties, like the reference).
-    """
+def _cpd_scan_jax(K, m: int, lmin: int, lmax: int):
+    """Shared jittable DP core: ``lax.scan`` over k = 1..m; each step builds
+    the masked candidate matrix and takes a column-wise min/argmin
+    (earliest-t ties, like the reference). Returns (I0, rows (m, n+1),
+    ptrs (m, n+1))."""
     import jax
     import jax.numpy as jnp
 
-    m = int(ncp)
     K = jnp.asarray(K)
     n = K.shape[0]
     J = calc_scatters_jax(K)
@@ -209,10 +207,29 @@ def cpd_nonlin_jax(K, ncp: int, lmin: int = 1, lmax: int = 100000):
              jnp.where(touched & improved, argbest, 0).astype(jnp.int32)])
         return row, (row, ptr)
 
+    _, (rows, ptrs) = jax.lax.scan(step, I0, jnp.arange(1, m + 1))
+    return I0, rows, ptrs
+
+
+def cpd_nonlin_jax(K, ncp: int, lmin: int = 1, lmax: int = 100000):
+    """Jittable DP over a static change-point count. Returns (cps, scores).
+
+    Production wiring: :func:`kts_segmentation_jax` (the raw-video pipeline's
+    ``kts_impl="device"``); the float64 host/C++ path stays the preprocess
+    parity oracle.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    m = int(ncp)
+    K = jnp.asarray(K)
+    n = K.shape[0]
+
     if m == 0:
+        I0, _, _ = _cpd_scan_jax(K, 0, lmin, lmax)
         return jnp.zeros((0,), jnp.int32), I0[n:n + 1]
 
-    last_row, (rows, ptrs) = jax.lax.scan(step, I0, jnp.arange(1, m + 1))
+    I0, rows, ptrs = _cpd_scan_jax(K, m, lmin, lmax)
 
     def backtrack(cur, k_rev):
         cp = ptrs[k_rev, cur]
@@ -224,3 +241,45 @@ def cpd_nonlin_jax(K, ncp: int, lmin: int = 1, lmax: int = 100000):
     scores = jnp.concatenate([I0[n:n + 1], rows[:, n]])
     scores = jnp.where(scores > 1e99, jnp.inf, scores)
     return cps, scores
+
+
+def kts_segmentation_jax(K, ncp: int, vmax: float, desc_rate: int = 1,
+                         lmin: int = 1, lmax: int = 100000):
+    """Fully on-device auto-KTS: one jitted program runs the DP scan once,
+    selects the penalized-cost-optimal change-point count (``cpd_auto.py:
+    5-47`` semantics), and backtracks that count from the saved pointer
+    table with a masked fixed-length scan (no second DP, no recompile per
+    selected count — unlike the host path, which re-runs the DP).
+
+    Returns ``(cps (ncp,), m_best, costs (ncp+1,))``; only ``cps[:m_best]``
+    is meaningful. Arithmetic is f32 on device (f64 if x64 is enabled); the
+    float64 host/C++ path remains the parity oracle for dataset preprocess.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    m = int(ncp)
+    K = jnp.asarray(K)
+    n = K.shape[0]
+    I0, rows, ptrs = _cpd_scan_jax(K, m, lmin, lmax)
+
+    scores = jnp.concatenate([I0[n:n + 1], rows[:, n]])
+    scores = jnp.where(scores > 1e99, jnp.inf, scores)
+
+    N2 = n * desc_rate
+    ncps = jnp.arange(1, m + 1, dtype=K.dtype)
+    pen = (vmax * ncps / (2.0 * N2)) * (jnp.log(jnp.asarray(float(N2),
+                                                            K.dtype) / ncps)
+                                        + 1.0)
+    costs = scores / float(n) + jnp.concatenate(
+        [jnp.zeros((1,), K.dtype), pen])
+    m_best = jnp.argmin(costs).astype(jnp.int32)
+
+    def backtrack(cur, k_rev):
+        active = k_rev < m_best
+        cp = jnp.where(active, ptrs[k_rev, cur], cur)
+        return cp, jnp.where(active, cp, 0)
+
+    _, cps_rev = lax.scan(backtrack, jnp.asarray(n, jnp.int32),
+                          jnp.arange(m - 1, -1, -1))
+    return cps_rev[::-1], m_best, costs

@@ -68,18 +68,28 @@ def evaluate_scores(predicted_scores: np.ndarray,
 
 def eval_metrics(score_dict: Dict[str, np.ndarray], user_dict: Dict[str, object],
                  eval_method: str = "avg",
-                 budget_ratio: float = 0.15) -> Tuple[float, float, float]:
+                 budget_ratio: float = 0.15,
+                 impl: str = "host") -> Tuple[float, float, float]:
     """Full eval pipeline over a dict of per-video scores.
 
     ``user_dict`` values carry ``user_summary, user_scores, change_points,
     n_frames, picks`` (see :class:`vidsum_tpu.data.datasets.UserSummaries`).
     Returns mean (F-score, Kendall-τ, Spearman-ρ) over videos.
+
+    :param impl: ``"host"`` (bit-parity NumPy/C++ pipeline, the oracle) or
+        ``"device"`` (one XLA program per video via
+        :mod:`vidsum_tpu.ops.device_eval`; see its parity contract).
     """
     keys = list(score_dict.keys())
     all_scores = [score_dict[k] for k in keys]
     users = [user_dict[k] for k in keys]
 
-    all_summaries = generate_summary(
+    if impl == "device":
+        from vidsum_tpu.ops.device_eval import device_generate_summary
+        summary_fn = device_generate_summary
+    else:
+        summary_fn = generate_summary
+    all_summaries = summary_fn(
         [u.change_points for u in users],
         all_scores,
         [u.n_frames for u in users],

@@ -7,11 +7,14 @@ from vidsum_tpu.parallel.train_parallel import (
 )
 from vidsum_tpu.parallel.ring_attention import ring_attention, make_ring_forward
 from vidsum_tpu.parallel.seq_forward import make_seq_sharded_forward
-from vidsum_tpu.parallel.pipeline import make_pp_forward, stack_blocks
+from vidsum_tpu.parallel.pipeline import (
+    make_pp_forward, make_pp_train_step, stack_blocks,
+)
 
 __all__ = [
     "make_mesh", "batch_sharding", "param_shardings", "replicate",
     "shard_params", "make_sharded_finetune_step",
     "make_sharded_pretrain_step", "ring_attention", "make_ring_forward",
-    "make_seq_sharded_forward", "make_pp_forward", "stack_blocks",
+    "make_seq_sharded_forward", "make_pp_forward", "make_pp_train_step",
+    "stack_blocks",
 ]

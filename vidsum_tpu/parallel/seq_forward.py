@@ -40,8 +40,10 @@ def make_seq_sharded_forward(cfg: ModelConfig, mesh: Mesh,
         offset = shard_idx * x.shape[1]
         attn = functools.partial(ring_attention, scale=cfg.attn_scale,
                                  axis_name=seq_axis)
+        # PE table must cover the GLOBAL sequence, not the local shard
         return simnet_apply(params, cfg, x, pad_mask, deterministic=True,
-                            attn_fn=attn, pos_offset=offset)
+                            attn_fn=attn, pos_offset=offset,
+                            pe_len=n_seq * x.shape[1])
 
     @jax.jit
     def fwd(params, x, pad_mask):
@@ -54,5 +56,5 @@ def make_seq_sharded_forward(cfg: ModelConfig, mesh: Mesh,
                        P(data_axis, seq_axis, None)),
         )(params, x, pad_mask)
 
-    del n_seq
+
     return fwd

@@ -42,6 +42,39 @@ def _score_program(google_params, scorer_params, cfg: ModelConfig,
     return jax.nn.sigmoid(scores[0, :, 0]), feats
 
 
+@functools.partial(
+    __import__("jax").jit, static_argnames=("cfg",))
+def _features_program(google_params, cfg: ModelConfig, frames):
+    """frames (T_pad, H, W, 3) normalized → pool5 features (T_pad, 1024)."""
+    from vidsum_tpu.preprocess.googlenet import googlenet_apply
+
+    return googlenet_apply(google_params, frames.astype(cfg.compute_dtype))
+
+
+_SEQ_FWD_CACHE: Dict = {}
+
+
+def _score_seq_sharded(google_params, scorer_params, cfg: ModelConfig,
+                       frames, n_real: int, mesh):
+    """Long-context scoring: pool5 features, then the sequence-parallel
+    ring-attention scorer over the (data, seq) mesh — no N×N tensor ever
+    materializes, so frame counts far beyond the dense envelope run."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidsum_tpu.parallel.seq_forward import make_seq_sharded_forward
+
+    feats = _features_program(google_params, cfg, frames)
+    key = (cfg, mesh)
+    if key not in _SEQ_FWD_CACHE:
+        _SEQ_FWD_CACHE[key] = make_seq_sharded_forward(cfg, mesh)
+    fwd = _SEQ_FWD_CACHE[key]
+    pad_mask = jnp.arange(frames.shape[0])[None] >= n_real
+    scores, _ = fwd(scorer_params,
+                    jnp.asarray(feats, jnp.float32)[None], pad_mask)
+    return jax.nn.sigmoid(scores[0, :, 0]), feats
+
+
 @dataclasses.dataclass
 class VideoSummary:
     summary: np.ndarray        # (n_frames,) binary frame selection
@@ -54,8 +87,20 @@ class VideoSummary:
 def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
                     google_params, fps: int = 2, size: int = 224,
                     budget_ratio: float = 0.15,
-                    pad_multiple: int = 64) -> VideoSummary:
-    """Raw video file → binary summary."""
+                    pad_multiple: int = 64, mesh=None,
+                    kts_impl: str = "host") -> VideoSummary:
+    """Raw video file → binary summary.
+
+    :param mesh: optional ``jax.sharding.Mesh`` with (data, seq) axes — the
+        scorer then runs sequence-parallel with exact ring attention
+        (``parallel/seq_forward.py``), so videos far beyond the dense
+        O(N²) envelope (>2,500 frames) score without any N×N tensor; frame
+        features are computed per position and the sequence padding rounds
+        up to ``seq_axis × pad_multiple``.
+    :param kts_impl: ``"host"`` (float64 NumPy/C++ auto-KTS, the parity
+        oracle) or ``"device"`` (one jitted program:
+        :func:`vidsum_tpu.ops.kts.kts_segmentation_jax`).
+    """
     from vidsum_tpu.preprocess.reduce_fps import reduce_fps
     from vidsum_tpu.preprocess.transforms import prepare_video
 
@@ -64,18 +109,34 @@ def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
         raise ValueError(f"no frames decoded from {video_path}")
     x = prepare_video(frames, size, "google")
     n_real = x.shape[0]
+    if mesh is not None:
+        pad_multiple *= mesh.shape["seq"]
     pad = (-n_real) % pad_multiple
     if pad:
         x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
 
-    scores, feats = _score_program(google_params, scorer_params, cfg,
-                                   x, n_real)
+    if mesh is None:
+        scores, feats = _score_program(google_params, scorer_params, cfg,
+                                       x, n_real)
+    else:
+        scores, feats = _score_seq_sharded(google_params, scorer_params, cfg,
+                                           x, n_real, mesh)
     scores = np.asarray(scores[:n_real], dtype=np.float32)
     feats = np.asarray(feats[:n_real], dtype=np.float64)
 
-    gram = feats @ feats.T
     ncp = max(n_real // 25, 1)
-    cps, _ = kts_segmentation(gram, ncp, vmax=1.0)
+    if kts_impl == "device":
+        import jax.numpy as jnp
+
+        from vidsum_tpu.ops.kts import kts_segmentation_jax
+
+        gram32 = jnp.asarray(feats, jnp.float32)
+        cps_pad, m_best, _ = kts_segmentation_jax(gram32 @ gram32.T, ncp,
+                                                  vmax=1.0)
+        cps = np.asarray(cps_pad)[: int(m_best)]
+    else:
+        gram = feats @ feats.T
+        cps, _ = kts_segmentation(gram, ncp, vmax=1.0)
     bounds = change_points_from_cps(cps, n_real)
     ratio = n_frames / n_real
     starts = np.round(bounds[:, 0] * ratio).astype(np.int64)

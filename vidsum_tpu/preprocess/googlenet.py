@@ -122,10 +122,20 @@ def _conv_bn_from_torch(state: Dict[str, np.ndarray], prefix: str) -> Params:
     }
 
 
-def googlenet_from_torch_state(state: Dict[str, np.ndarray]) -> Params:
+def googlenet_from_torch_state(state: Dict[str, np.ndarray],
+                               strict: bool = True) -> Params:
     """Convert a torchvision ``googlenet`` state dict (tensor → numpy) into
     this module's param pytree. Key names follow torchvision's layout
-    (``conv1.conv.weight``, ``inception3a.branch2.0.conv.weight``, …)."""
+    (``conv1.conv.weight``, ``inception3a.branch2.0.conv.weight``, …).
+
+    ``strict`` (default) asserts every key was consumed — except the heads
+    the reference strips (aux classifiers, dropout, fc;
+    ``src/data/preprocess/models.py:20``) and BN bookkeeping — so a renamed
+    torchvision layout fails loudly instead of silently dropping weights.
+    """
+    from vidsum_tpu.preprocess.nn import TrackingState, check_state_coverage
+
+    state = TrackingState(state)
     params: Params = {
         "conv1": _conv_bn_from_torch(state, "conv1"),
         "conv2": _conv_bn_from_torch(state, "conv2"),
@@ -140,4 +150,7 @@ def googlenet_from_torch_state(state: Dict[str, np.ndarray]) -> Params:
             "branch3_1": _conv_bn_from_torch(state, f"{name}.branch3.1"),
             "branch4": _conv_bn_from_torch(state, f"{name}.branch4.1"),
         }
+    if strict:
+        check_state_coverage(state, ignore_prefixes=("aux1.", "aux2.",
+                                                     "dropout.", "fc."))
     return params

@@ -69,6 +69,37 @@ def global_avg_pool(x: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
 # torchvision state-dict conversion helpers
 # ---------------------------------------------------------------------------
 
+class TrackingState(dict):
+    """State-dict wrapper recording which keys a converter consumed, so
+    :func:`check_state_coverage` can prove the conversion is exhaustive —
+    a silently-renamed torchvision key (e.g. ``branch4.1`` moving) would
+    otherwise leave stale weights unconverted and drift every downstream
+    feature (SURVEY.md §7 "hard parts")."""
+
+    def __init__(self, state):
+        super().__init__(state)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+def check_state_coverage(tracked: "TrackingState",
+                         ignore_prefixes: Tuple[str, ...] = ()) -> None:
+    """Raise if any state-dict key was neither consumed nor explicitly
+    ignorable (BN bookkeeping, stripped heads)."""
+    leftover = sorted(
+        k for k in tracked
+        if k not in tracked.consumed
+        and not k.endswith("num_batches_tracked")
+        and not any(k.startswith(p) for p in ignore_prefixes))
+    if leftover:
+        raise ValueError(
+            "torch state keys not consumed by the converter (renamed "
+            f"layout?): {leftover[:10]}{'...' if len(leftover) > 10 else ''}")
+
+
 def conv_w_from_torch(w: np.ndarray) -> np.ndarray:
     """OIHW → HWIO (2-D) or OIDHW → DHWIO (3-D)."""
     w = np.asarray(w)

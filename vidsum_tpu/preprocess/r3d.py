@@ -90,10 +90,18 @@ def _conv_bn_from_torch(state: Dict[str, np.ndarray], conv_key: str,
             "bn": bn_from_torch(state, bn_prefix)}
 
 
-def r3d18_from_torch_state(state: Dict[str, np.ndarray]) -> Params:
+def r3d18_from_torch_state(state: Dict[str, np.ndarray],
+                           strict: bool = True) -> Params:
     """Convert a torchvision ``video.r3d_18`` state dict (tensor → numpy).
     Keys: ``stem.0.weight``, ``layer1.0.conv1.0.weight``,
-    ``layer2.0.downsample.0.weight``, …"""
+    ``layer2.0.downsample.0.weight``, …
+
+    ``strict`` (default) asserts every key was consumed except the stripped
+    ``fc`` head (``src/data/preprocess/models.py:50``) and BN bookkeeping.
+    """
+    from vidsum_tpu.preprocess.nn import TrackingState, check_state_coverage
+
+    state = TrackingState(state)
     params: Params = {
         "stem": _conv_bn_from_torch(state, "stem.0.weight", "stem.1")}
     cin = 64
@@ -114,4 +122,6 @@ def r3d18_from_torch_state(state: Dict[str, np.ndarray]) -> Params:
             blocks.append(b)
             cin = cout
         params[name] = blocks
+    if strict:
+        check_state_coverage(state, ignore_prefixes=("fc.",))
     return params

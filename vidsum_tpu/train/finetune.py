@@ -105,7 +105,8 @@ def _val_epoch(fwd, params, dataset, cfg, val_batch: int = 8):
                 user_dict[user.name] = user
     f, k, s = eval_metrics(score_dict, user_dict,
                            eval_method=cfg.eval.eval_method,
-                           budget_ratio=cfg.eval.budget_ratio)
+                           budget_ratio=cfg.eval.budget_ratio,
+                           impl=cfg.eval.impl)
     return loss_avg.avg(), f, k, s
 
 
