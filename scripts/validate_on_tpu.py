@@ -115,6 +115,119 @@ def main() -> None:
     check("pallas train step optimizes", losses[-1] < losses[0]
           and all(np.isfinite(losses)), f"{losses[0]:.4f}→{losses[-1]:.4f}")
 
+    # fused block train kernel at bf16 compute (one-pass MXU matmuls) vs the
+    # dense reference with the identical dtype contract + hash masks
+    from vidsum_tpu.models.simnet import _init_block
+    from vidsum_tpu.ops.block_train import (
+        block_reference_with_masks, fused_block_train,
+    )
+
+    bcfg = ModelConfig(d_model=256, num_heads=4, num_layers=1)
+    block = _init_block(jax.random.PRNGKey(5), bcfg)
+    xtr = jnp.asarray(rng.normal(size=(4, 256, 256)), jnp.bfloat16)
+    bm2 = np.zeros((4, 256), bool)
+    bm2[2, 200:] = True
+    mask8b = jnp.asarray(bm2.astype(np.int8))[:, None, :]
+    seed_b = jnp.asarray([[77]], jnp.int32)
+    got = fused_block_train(xtr, block, mask8b, seed_b, 4, bcfg.attn_scale,
+                            0.3).astype(jnp.float32)
+    want = block_reference_with_masks(xtr, block, jnp.asarray(bm2), 77, 4,
+                                      bcfg.attn_scale, 0.3).astype(jnp.float32)
+    diff = float(jnp.abs(got - want).max())
+    check("fused block train bf16 fwd", diff < 0.15, f"max diff {diff:.2e}")
+
+    # random cotangent: sum() alone is degenerate through the final LN
+    # (it removes the mean, so d(sum)/dx ~ 0 and the comparison is noise)
+    co_b = jnp.asarray(rng.normal(size=(4, 256, 256)), jnp.float32)
+
+    def fb_fused(x, blk):
+        return jnp.sum(fused_block_train(x, blk, mask8b, seed_b, 4,
+                                         bcfg.attn_scale,
+                                         0.3).astype(jnp.float32) * co_b)
+
+    def fb_ref(x, blk):
+        return jnp.sum(block_reference_with_masks(
+            x, blk, jnp.asarray(bm2), 77, 4, bcfg.attn_scale,
+            0.3).astype(jnp.float32) * co_b)
+
+    gx, gw = jax.grad(fb_fused, argnums=(0, 1))(xtr, block)
+    rx, rw = jax.grad(fb_ref, argnums=(0, 1))(xtr, block)
+    relx = float(jnp.abs(gx.astype(jnp.float32) - rx.astype(jnp.float32)).max()
+                 / jnp.abs(rx.astype(jnp.float32)).max())
+    check("fused block train bf16 dx", relx < 5e-2, f"max rel err {relx:.2e}")
+    # magnitude floor: db_k is structurally ~0 (softmax ds rows sum to 0),
+    # so its "relative" error is cancellation noise — floor each leaf's
+    # denominator at 1e-4 of the global grad scale
+    g_scale = max(float(jnp.abs(b).max())
+                  for b in jax.tree_util.tree_leaves(rw))
+    worst = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(gw),
+                    jax.tree_util.tree_leaves(rw)):
+        denom = max(float(jnp.abs(b).max()), 1e-4 * g_scale)
+        worst = max(worst, float(jnp.abs(a - b).max()) / denom)
+    check("fused block train bf16 dw", worst < 5e-2,
+          f"worst rel err {worst:.2e}")
+
+    # on-device eval (eval_impl='device'): golden parity + measured latency
+    import time as _time
+
+    from vidsum_tpu.ops.device_eval import device_generate_summary
+    from vidsum_tpu.ops.summary import generate_summary
+
+    rng2 = np.random.default_rng(123)
+    videos = []
+    for _ in range(8):
+        n_picks = int(rng2.integers(40, 150))
+        stp = int(rng2.integers(10, 20))
+        picks = np.arange(n_picks) * stp
+        n_frames = int(picks[-1] + rng2.integers(1, stp + 1))
+        scores = rng2.random(n_picks).astype(np.float32)
+        n_shots = int(rng2.integers(5, 15))
+        cuts = np.sort(rng2.choice(np.arange(1, n_frames), n_shots - 1,
+                                   replace=False))
+        bounds = np.concatenate([[0], cuts, [n_frames]])
+        cp = np.stack([bounds[:-1], bounds[1:] - 1], axis=1)
+        videos.append((picks, n_frames, scores, cp))
+    args = ([v[3] for v in videos], [v[2] for v in videos],
+            [v[1] for v in videos], [v[0] for v in videos])
+    host = generate_summary(*args)
+    dev = device_generate_summary(*args)  # compiles
+    same = all(np.array_equal(h, d) for h, d in zip(host, dev))
+    check("device eval == host eval (8 videos)", same)
+    t0 = _time.perf_counter()
+    device_generate_summary(*args)
+    t_dev = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    generate_summary(*args)
+    t_host = _time.perf_counter() - t0
+    print(f"[timing] device eval {t_dev*1e3:.1f} ms vs host C++ "
+          f"{t_host*1e3:.1f} ms for 8 videos (device path trades latency "
+          f"for on-chip residency; host stays the oracle)")
+
+    # backbone golden features on the real chip (converter + XLA convs must
+    # reproduce the committed fp64 torch-mirror goldens at f32 tolerance)
+    goldens = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "data", "backbone_goldens.npz")
+    if os.path.exists(goldens):
+        import torch
+
+        from tests.torch_mirrors import GoogLeNetMirror, randomize_bn_stats
+        from vidsum_tpu.preprocess.googlenet import (
+            googlenet_apply, googlenet_from_torch_state,
+        )
+
+        g = np.load(goldens)
+        torch.manual_seed(0)
+        mirror = GoogLeNetMirror().eval()
+        randomize_bn_stats(mirror, 1)
+        gp = googlenet_from_torch_state(
+            {k2: v2.numpy() for k2, v2 in mirror.state_dict().items()})
+        xg = np.transpose(g["google_in"], (0, 2, 3, 1)).astype(np.float32)
+        feats = np.asarray(googlenet_apply(gp, jnp.asarray(xg)))
+        gdiff = np.abs(feats - g["google_pool5"]).max()
+        check("googlenet pool5 golden on chip", gdiff < 5e-3,
+              f"max diff {gdiff:.2e}")
+
     print("ALL ON-CHIP VALIDATIONS PASSED")
 
 

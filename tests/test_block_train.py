@@ -130,3 +130,83 @@ def test_training_step_through_fused_block():
             jax.tree_util.tree_leaves_with_path(p0),
             jax.tree_util.tree_leaves_with_path(params)):
         assert not np.allclose(a, np.asarray(b)), jax.tree_util.keystr(pa)
+
+
+def test_bf16_compute_matches_bf16_reference():
+    """bf16 inputs are accepted (cast to f32 on load — the kernels pin f32
+    matmul operands because bf16 operands measured slower on v5e, see
+    ops/block_train._mm). Forward and the full gradient set must match the
+    dense reference computing with the identical dtype contract and hash
+    masks; only the bf16 I/O rounding separates them."""
+    x, bm, mask8, block, seed = make_inputs()
+    xb = x.astype(jnp.bfloat16)
+
+    got = fused_block_train(xb, block, mask8, seed, CFG.num_heads, SCALE,
+                            RATE)
+    want = block_reference_with_masks(xb, block, bm, 99, CFG.num_heads,
+                                      SCALE, RATE)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+    # random cotangent: sum() alone is degenerate through the final LN
+    co = jnp.asarray(np.random.default_rng(14).normal(size=(B, N, D)),
+                     jnp.float32)
+
+    def f_fused(x, blk):
+        return jnp.sum(fused_block_train(x, blk, mask8, seed, CFG.num_heads,
+                                         SCALE, RATE).astype(jnp.float32)
+                       * co)
+
+    def f_ref(x, blk):
+        return jnp.sum(block_reference_with_masks(
+            x, blk, bm, 99, CFG.num_heads, SCALE,
+            RATE).astype(jnp.float32) * co)
+
+    gx, gw = jax.grad(f_fused, argnums=(0, 1))(xb, block)
+    rx, rw = jax.grad(f_ref, argnums=(0, 1))(xb, block)
+    np.testing.assert_allclose(np.asarray(gx, np.float32),
+                               np.asarray(rx, np.float32),
+                               rtol=1e-1, atol=1e-1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-1, atol=2e-1),
+        gw, rw)
+
+
+def test_forward_large_tile_matches_reference():
+    """N=256 selects the 256-wide fwd query tile (bwd stays at 128); the
+    fwd/bwd hash masks are absolute-coordinate so mixed tiling must stay
+    exact vs the dense reference."""
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(1, 256, D)), jnp.float32)
+    bm = np.zeros((1, 256), bool)
+    bm[0, 230:] = True
+    mask8 = jnp.asarray(bm.astype(np.int8))[:, None, :]
+    block = _init_block(jax.random.PRNGKey(4), CFG)
+    seed = jnp.asarray([[55]], jnp.int32)
+
+    got = fused_block_train(x, block, mask8, seed, CFG.num_heads, SCALE, RATE)
+    want = block_reference_with_masks(x, block, jnp.asarray(bm), 55,
+                                      CFG.num_heads, SCALE, RATE)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def f_fused(x, blk):
+        return jnp.sum(fused_block_train(x, blk, mask8, seed, CFG.num_heads,
+                                         SCALE, RATE) ** 2)
+
+    def f_ref(x, blk):
+        return jnp.sum(block_reference_with_masks(
+            x, blk, jnp.asarray(bm), 55, CFG.num_heads, SCALE, RATE) ** 2)
+
+    gx, gw = jax.grad(f_fused, argnums=(0, 1))(x, block)
+    rx, rw = jax.grad(f_ref, argnums=(0, 1))(x, block)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-3, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-3, atol=2e-4),
+        gw, rw)

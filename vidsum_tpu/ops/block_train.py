@@ -82,75 +82,101 @@ def _ln_bwd(dy, xhat, inv, scale):
     return dz, (dy * xhat).sum(axis=0), dy.sum(axis=0)
 
 
-def _mm(a, b, ta=False, tb=False):
+def _mm(a, b, ta=False, tb=False, cd=None):
+    """MXU matmul with f32 accumulation; ``cd`` casts the operands first.
+
+    The kernels pin cd=f32: a bf16-operand variant was measured SLOWER on
+    v5e at these tile sizes (train step 10.11 ms vs 6.93 ms at B=32/N=512/
+    d=256) — the per-tile f32→bf16 casts and bf16 VMEM relayouts cost more
+    than the multi-pass f32 MXU saves. bf16 *inputs* are still accepted
+    (cast on load); precision is therefore >= the XLA bf16 path and the
+    reference's fp16 AMP (src/train.py:38)."""
+    if cd is not None:
+        a = a.astype(cd)
+        b = b.astype(cd)
     dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
     return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
 
 
 def _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads, scale,
-                  rate):
-    """Recompute-or-compute all forward intermediates for query tile i.
-    Returns a dict of everything both passes need."""
-    d = k.shape[-1]
+                  rate, cd, tile=TILE, full=True):
+    """Recompute-or-compute all forward intermediates for query tile i
+    (``tile`` rows starting at i*tile; the hash masks depend only on
+    absolute coordinates, so fwd and bwd may tile differently). With
+    ``full=False`` (the fwd kernel) the per-head softmax/mask tensors are
+    not retained — only the bwd needs them."""
+    d = w["wq"].shape[-1]
     Dh = d // num_heads
-    row0 = i * TILE
-    xq = x_ref[0, pl.ds(row0, TILE), :].astype(jnp.float32)       # (T, d)
-    q = _mm(xq, w["wq"]) + w["bq"]
+    row0 = i * tile
+    xq_cd = x_ref[0, pl.ds(row0, tile), :].astype(cd)             # (T, d) cd
+    xq = xq_cd.astype(jnp.float32)
+    q = _mm(xq_cd, w["wq"]) + w["bq"]                             # f32 accum
 
     outs, heads = [], []
     for h in range(num_heads):
         sl = slice(h * Dh, (h + 1) * Dh)
-        s = _mm(q[:, sl], k[:, sl], tb=True) * scale               # (T, N)
+        s = _mm(q[:, sl], k[:, sl], tb=True, cd=cd) * scale        # (T, N)
         s = jnp.where(key_mask, NEG_INF, s)
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         l = jnp.sum(e, axis=1, keepdims=True)
         p = e / l
         keep = _hash_keep(seed, S_ATTN * 8 + h, b, row0, p.shape, rate)
-        pd = _drop(p, keep, rate)
+        pd = _drop(p, keep, rate).astype(cd)
         outs.append(_mm(pd, v[:, sl]))
-        heads.append((p, keep, pd))
+        if full:
+            heads.append(p)  # keep/pd are recomputed by the bwd (hash is
+                             # cheap; storing them costs ~2x the VMEM)
     attn = jnp.concatenate(outs, axis=1)                           # (T, d)
 
-    proj = _mm(attn, w["wp"]) + w["bp"]
+    proj = _mm(attn, w["wp"], cd=cd) + w["bp"]
     keep1 = _hash_keep(seed, S_RES1, b, row0, proj.shape, rate)
     z1 = _drop(proj, keep1, rate) + xq
     h1, xhat1, inv1 = _ln_fwd(z1, w["ln1s"], w["ln1b"])
 
-    a1 = _mm(h1, w["wf1"]) + w["bf1"]                              # (T, 4d)
+    a1 = _mm(h1, w["wf1"], cd=cd) + w["bf1"]                       # (T, 4d)
     r1 = jnp.maximum(a1, 0.0)
     keepm = _hash_keep(seed, S_MLP, b, row0, r1.shape, rate)
-    m1d = _drop(r1, keepm, rate)
+    m1d = _drop(r1, keepm, rate).astype(cd)
     m2 = _mm(m1d, w["wf2"]) + w["bf2"]                             # (T, d)
     keep2 = _hash_keep(seed, S_RES2, b, row0, m2.shape, rate)
     z2 = _drop(m2, keep2, rate) + h1
     out, xhat2, inv2 = _ln_fwd(z2, w["ln2s"], w["ln2b"])
-    return dict(xq=xq, q=q, heads=heads, attn=attn, keep1=keep1,
-                xhat1=xhat1, inv1=inv1, h1=h1, a1=a1, keepm=keepm, m1d=m1d,
-                keep2=keep2, xhat2=xhat2, inv2=inv2, out=out)
+    # m1d / keep1 / keep2 / keepm / per-head keep+pd are NOT returned: the
+    # bwd recomputes them from a1 + the hash (absolute coordinates), which
+    # keeps the bwd kernel ~2 MB under the scoped-VMEM cliff it used to sit
+    # on (observed 16.11M > 16.00M limit at B=4/N=256/d=256 bf16).
+    return dict(xq=xq, xq_cd=xq_cd, q=q, heads=heads, attn=attn,
+                xhat1=xhat1, inv1=inv1, h1=h1, a1=a1,
+                xhat2=xhat2, inv2=inv2, out=out)
 
 
-def _unpack_w(refs):
-    return {name: refs[name][...].astype(jnp.float32)
+def _unpack_w(refs, cd):
+    """2-D weights in the compute dtype (pre-cast by the wrapper); biases
+    and LN vectors in f32."""
+    return {name: (refs[name][...] if refs[name].ndim == 2
+                   else refs[name][...].astype(jnp.float32))
             for name in PARAM_NAMES}
 
 
 def _fwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
-                n_tiles):
+                n_tiles, tile_q):
+    cd = jnp.float32  # measured: bf16 operands are SLOWER here (see _mm)
     w_refs = dict(zip(PARAM_NAMES, refs[:16]))
     o_ref = refs[16]
     b = pl.program_id(0)
-    w = _unpack_w(w_refs)
+    w = _unpack_w(w_refs, cd)
     key_mask = mask_ref[0] != 0
-    x_f32 = x_ref[0].astype(jnp.float32)
-    k = _mm(x_f32, w["wk"]) + w["bk"]
-    v = _mm(x_f32, w["wv"]) + w["bv"]
+    x_cd = x_ref[0].astype(cd)
+    # K/V resident in VMEM in the compute dtype (f32-accumulated projection)
+    k = (_mm(x_cd, w["wk"]) + w["bk"]).astype(cd)
+    v = (_mm(x_cd, w["wv"]) + w["bv"]).astype(cd)
     seed = seed_ref[0, 0]
 
     def tile(i, _):
         t = _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads,
-                          scale, rate)
-        o_ref[0, pl.ds(i * TILE, TILE), :] = t["out"].astype(o_ref.dtype)
+                          scale, rate, cd, tile=tile_q, full=False)
+        o_ref[0, pl.ds(i * tile_q, tile_q), :] = t["out"].astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile, 0)
@@ -164,12 +190,13 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
     g_refs = dict(zip(PARAM_NAMES, refs[18:34]))
     dx_acc, dk_acc, dv_acc = refs[34], refs[35], refs[36]
 
+    cd = jnp.float32  # measured: bf16 operands are SLOWER here (see _mm)
     b = pl.program_id(0)
-    w = _unpack_w(w_refs)
+    w = _unpack_w(w_refs, cd)
     key_mask = mask_ref[0] != 0
-    x_f32 = x_ref[0].astype(jnp.float32)
-    k = _mm(x_f32, w["wk"]) + w["bk"]
-    v = _mm(x_f32, w["wv"]) + w["bv"]
+    x_cd = x_ref[0].astype(cd)
+    k = (_mm(x_cd, w["wk"]) + w["bk"]).astype(cd)
+    v = (_mm(x_cd, w["wv"]) + w["bv"]).astype(cd)
     seed = seed_ref[0, 0]
     d = k.shape[-1]
     Dh = d // num_heads
@@ -187,64 +214,75 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
     def tile(i, _):
         row0 = i * TILE
         t = _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads,
-                          scale, rate)
+                          scale, rate, cd)
         do = do_ref[0, pl.ds(row0, TILE), :].astype(jnp.float32)
+        d_cols = t["xq"].shape[-1]
+
+        # recompute the dropout masks + dropped MLP activation the forward
+        # no longer retains (absolute-coordinate hash => identical bits)
+        keep1 = _hash_keep(seed, S_RES1, b, row0, (TILE, d_cols), rate)
+        keep2 = _hash_keep(seed, S_RES2, b, row0, (TILE, d_cols), rate)
+        keepm = _hash_keep(seed, S_MLP, b, row0, t["a1"].shape, rate)
+        m1d = _drop(jnp.maximum(t["a1"], 0.0), keepm, rate)
 
         # LN2 backward
         dz2, dg2, db2 = _ln_bwd(do, t["xhat2"], t["inv2"], w["ln2s"])
         g_refs["ln2s"][...] += dg2
         g_refs["ln2b"][...] += db2
         dh1 = dz2                                   # residual branch
-        dm2 = (jnp.where(t["keep2"], dz2 * inv_keep, 0.0)
+        dm2 = (jnp.where(keep2, dz2 * inv_keep, 0.0)
                if rate > 0.0 else dz2)
 
-        # fc2 backward
-        g_refs["wf2"][...] += _mm(t["m1d"], dm2, ta=True)
+        # fc2 backward (grad matmuls run in cd like the XLA bf16 path's VJP;
+        # accumulation and the g_refs accumulators stay f32)
+        g_refs["wf2"][...] += _mm(m1d, dm2, ta=True, cd=cd)
         g_refs["bf2"][...] += dm2.sum(axis=0)
-        dm1d = _mm(dm2, w["wf2"], tb=True)
+        dm1d = _mm(dm2, w["wf2"], tb=True, cd=cd)
         da1 = dm1d
         if rate > 0.0:
-            da1 = jnp.where(t["keepm"], da1 * inv_keep, 0.0)
+            da1 = jnp.where(keepm, da1 * inv_keep, 0.0)
         da1 = jnp.where(t["a1"] > 0.0, da1, 0.0)
 
         # fc1 backward
-        g_refs["wf1"][...] += _mm(t["h1"], da1, ta=True)
+        g_refs["wf1"][...] += _mm(t["h1"], da1, ta=True, cd=cd)
         g_refs["bf1"][...] += da1.sum(axis=0)
-        dh1 = dh1 + _mm(da1, w["wf1"], tb=True)
+        dh1 = dh1 + _mm(da1, w["wf1"], tb=True, cd=cd)
 
         # LN1 backward
         dz1, dg1, db1 = _ln_bwd(dh1, t["xhat1"], t["inv1"], w["ln1s"])
         g_refs["ln1s"][...] += dg1
         g_refs["ln1b"][...] += db1
         dxq = dz1                                   # residual branch
-        dproj = (jnp.where(t["keep1"], dz1 * inv_keep, 0.0)
+        dproj = (jnp.where(keep1, dz1 * inv_keep, 0.0)
                  if rate > 0.0 else dz1)
 
         # proj backward
-        g_refs["wp"][...] += _mm(t["attn"], dproj, ta=True)
+        g_refs["wp"][...] += _mm(t["attn"], dproj, ta=True, cd=cd)
         g_refs["bp"][...] += dproj.sum(axis=0)
-        dattn = _mm(dproj, w["wp"], tb=True)        # (T, d)
+        dattn = _mm(dproj, w["wp"], tb=True, cd=cd)  # (T, d)
 
         # attention backward per head (concatenate dq parts — Mosaic has no
         # scatter lowering for .at[].set on values)
         dq_parts = []
         for h in range(num_heads):
             sl = slice(h * Dh, (h + 1) * Dh)
-            p, keep, pd = t["heads"][h]
+            p = t["heads"][h]
+            keep = _hash_keep(seed, S_ATTN * 8 + h, b, row0, p.shape, rate)
+            pd = _drop(p, keep, rate).astype(cd)
             do_h = dattn[:, sl]
-            dv_acc[:, sl] += _mm(pd, do_h, ta=True)
-            dpd = _mm(do_h, v[:, sl], tb=True)
+            dv_acc[:, sl] += _mm(pd, do_h, ta=True, cd=cd)
+            dpd = _mm(do_h, v[:, sl], tb=True, cd=cd)
             dp = (jnp.where(keep, dpd * inv_keep, 0.0)
                   if rate > 0.0 else dpd)
             ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-            dq_parts.append(_mm(ds, k[:, sl]) * scale)
-            dk_acc[:, sl] += _mm(ds, t["q"][:, sl], ta=True) * scale
+            dq_parts.append(_mm(ds, k[:, sl], cd=cd) * scale)
+            dk_acc[:, sl] += _mm(ds, t["q"][:, sl], ta=True, cd=cd) * scale
         dq = jnp.concatenate(dq_parts, axis=1)
 
         # q projection backward
-        g_refs["wq"][...] += _mm(t["xq"], dq, ta=True)
+        g_refs["wq"][...] += _mm(t["xq_cd"], dq, ta=True, cd=cd)
         g_refs["bq"][...] += dq.sum(axis=0)
-        dxq = dxq + _mm(dq, w["wq"], tb=True)
+        dxq = dxq + _mm(dq, w["wq"], tb=True, cd=cd)
 
         dx_acc[pl.ds(row0, TILE), :] = dxq
         return 0
@@ -252,13 +290,20 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
     jax.lax.fori_loop(0, n_tiles, tile, 0)
 
     # K/V projections: contributions through the whole sequence
-    g_refs["wk"][...] += _mm(x_f32, dk_acc[...], ta=True)
+    g_refs["wk"][...] += _mm(x_cd, dk_acc[...], ta=True, cd=cd)
     g_refs["bk"][...] += dk_acc[...].sum(axis=0)
-    g_refs["wv"][...] += _mm(x_f32, dv_acc[...], ta=True)
+    g_refs["wv"][...] += _mm(x_cd, dv_acc[...], ta=True, cd=cd)
     g_refs["bv"][...] += dv_acc[...].sum(axis=0)
-    dx = (dx_acc[...] + _mm(dk_acc[...], w["wk"], tb=True)
-          + _mm(dv_acc[...], w["wv"], tb=True))
+    dx = (dx_acc[...] + _mm(dk_acc[...], w["wk"], tb=True, cd=cd)
+          + _mm(dv_acc[...], w["wv"], tb=True, cd=cd))
     dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _cast_w(flat_w, cd):
+    """2-D weights → compute dtype (VMEM blocks shrink with bf16); biases
+    and LN vectors stay f32."""
+    return tuple(w.astype(cd) if w.ndim == 2 else w.astype(jnp.float32)
+                 for w in flat_w)
 
 
 def _flatten_params(block: Dict[str, Any]):
@@ -302,12 +347,25 @@ def _w_specs(flat):
     return specs
 
 
+def _pick_fwd_tile(N: int) -> int:
+    """Largest dividing query tile for the fwd kernel (same policy as the
+    inference kernel, ops/block_kernel._pick_tile: bigger tiles amortize
+    K/V reuse; the fwd keeps no per-head tensors so VMEM allows it). The
+    bwd stays at TILE=128 — it retains softmax/mask tensors per head."""
+    cap = 512 if N <= 1024 else (256 if N <= 2048 else 128)
+    for tile in (cap, 256, 128):
+        if tile <= cap and N % tile == 0:
+            return tile
+    return TILE
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "rate",
                                              "interpret"))
 def _forward(x, mask, seed, flat_w, num_heads, scale, rate, interpret):
     B, N, d = x.shape
+    tile_q = _pick_fwd_tile(N)
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
-                               rate=rate, n_tiles=N // TILE)
+                               rate=rate, n_tiles=N // tile_q, tile_q=tile_q)
     return pl.pallas_call(
         kernel, grid=(B,),
         in_specs=[
@@ -321,6 +379,8 @@ def _forward(x, mask, seed, flat_w, num_heads, scale, rate, interpret):
         out_specs=pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, mask, seed, *flat_w)
 
@@ -360,6 +420,11 @@ def _backward(x, mask, seed, flat_w, do, num_heads, scale, rate, interpret):
         scratch_shapes=[pltpu.VMEM((N, d), jnp.float32),
                         pltpu.VMEM((N, d), jnp.float32),
                         pltpu.VMEM((N, d), jnp.float32)],
+        # the bwd working set (weights + grads + per-head softmax tiles)
+        # legitimately exceeds Mosaic's conservative 16 MB default scoped-
+        # VMEM cap at flagship shapes; v5e has 128 MB VMEM per core
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(x, mask, seed, *flat_w, do)
     return out[0], out[1:]
@@ -375,7 +440,7 @@ def fused_block_train(x, block_params, mask, seed, num_heads: int,
     """
     assert num_heads <= MAX_HASH_HEADS, (
         f"dropout site encoding supports <= {MAX_HASH_HEADS} heads")
-    flat_w = _flatten_params(block_params)
+    flat_w = _cast_w(_flatten_params(block_params), jnp.float32)
     return _forward(x, mask, seed, flat_w, num_heads, scale, rate,
                     _interpret())
 
@@ -388,7 +453,7 @@ def _vjp_fwd(x, block_params, mask, seed, num_heads, scale, rate):
 
 def _vjp_bwd(num_heads, scale, rate, residuals, do):
     x, block_params, mask, seed = residuals
-    flat_w = _flatten_params(block_params)
+    flat_w = _cast_w(_flatten_params(block_params), jnp.float32)
     dx, flat_grads = _backward(x, mask, seed, flat_w, do.astype(x.dtype),
                                num_heads, scale, rate, _interpret())
     return dx, _unflatten_grads(flat_grads), None, None
@@ -413,34 +478,44 @@ def _ref_keep(seed, site, b, N, cols, rate):
 
 def block_reference_with_masks(x, block_params, bool_mask, seed, num_heads,
                                scale, rate):
-    """Dense jnp implementation applying the identical hash masks."""
+    """Dense jnp implementation applying the identical hash masks. Mirrors
+    the kernel's dtype contract: matmul operands in x.dtype with f32
+    accumulation; softmax/LN/dropout math in f32."""
     B, N, d = x.shape
     Dh = d // num_heads
+    cd = jnp.float32  # mirrors the kernels' pinned f32 operand policy
     a, m = block_params["attn"], block_params["mlp"]
+
+    def mm(lhs, rhs, tb=False):
+        return _mm(lhs, rhs, tb=tb, cd=cd)
+
     outs = []
     for b in range(B):
-        xb = x[b].astype(jnp.float32)
-        q = xb @ a["q"]["w"] + a["q"]["b"]
-        k = xb @ a["k"]["w"] + a["k"]["b"]
-        v = xb @ a["v"]["w"] + a["v"]["b"]
+        xb = x[b]
+        xb_f32 = xb.astype(jnp.float32)
+        q = mm(xb, a["q"]["w"]) + a["q"]["b"].astype(jnp.float32)
+        k = (mm(xb, a["k"]["w"]) + a["k"]["b"].astype(jnp.float32)).astype(cd)
+        v = (mm(xb, a["v"]["w"]) + a["v"]["b"].astype(jnp.float32)).astype(cd)
         heads = []
         for h in range(num_heads):
             sl = slice(h * Dh, (h + 1) * Dh)
-            s = (q[:, sl] @ k[:, sl].T) * scale
+            s = mm(q[:, sl], k[:, sl], tb=True) * scale
             s = jnp.where(bool_mask[b][None, :], NEG_INF, s)
             p = jax.nn.softmax(s, axis=-1)
             keep = _ref_keep(seed, S_ATTN * 8 + h, b, N, N, rate)
-            p = _drop(p, keep, rate)
-            heads.append(p @ v[:, sl])
+            pd = _drop(p, keep, rate).astype(cd)
+            heads.append(mm(pd, v[:, sl]))
         attn = jnp.concatenate(heads, axis=1)
-        proj = attn @ a["proj"]["w"] + a["proj"]["b"]
-        z1 = _drop(proj, _ref_keep(seed, S_RES1, b, N, d, rate), rate) + xb
+        proj = mm(attn, a["proj"]["w"]) + a["proj"]["b"].astype(jnp.float32)
+        z1 = (_drop(proj, _ref_keep(seed, S_RES1, b, N, d, rate), rate)
+              + xb_f32)
         h1, _, _ = _ln_fwd(z1, block_params["ln1"]["scale"],
                            block_params["ln1"]["bias"])
-        a1 = h1 @ m["fc1"]["w"] + m["fc1"]["b"]
+        a1 = mm(h1, m["fc1"]["w"]) + m["fc1"]["b"].astype(jnp.float32)
         r1 = jnp.maximum(a1, 0.0)
-        m1d = _drop(r1, _ref_keep(seed, S_MLP, b, N, a1.shape[1], rate), rate)
-        m2 = m1d @ m["fc2"]["w"] + m["fc2"]["b"]
+        m1d = _drop(r1, _ref_keep(seed, S_MLP, b, N, a1.shape[1], rate),
+                    rate).astype(cd)
+        m2 = mm(m1d, m["fc2"]["w"]) + m["fc2"]["b"].astype(jnp.float32)
         z2 = _drop(m2, _ref_keep(seed, S_RES2, b, N, d, rate), rate) + h1
         out, _, _ = _ln_fwd(z2, block_params["ln2"]["scale"],
                             block_params["ln2"]["bias"])
