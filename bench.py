@@ -34,8 +34,9 @@ import numpy as np
 
 TARGET_FRAMES_PER_SEC = 5000.0  # BASELINE.json north star, per chip
 B, N, K = 32, 512, 100
-K_RAGGED = 50
-K_TRAIN = 30
+K_RAGGED = 400  # small buckets are ~0.05-0.2 ms/fwd through the grouped
+                # kernel; the chain must dwarf the ~30 ms fetch RPC noise
+K_TRAIN = 10  # unrolled inside one program; compile cost grows with K
 PEAK_FLOPS = float(os.environ.get("VIDSUM_TPU_PEAK_TFLOPS", "197")) * 1e12
 
 # Realistic 2-fps video-length mix (SumMe 1-6.5 min, TVSum 2-10 min),
@@ -105,11 +106,14 @@ def main() -> None:
         ragged_progs.append((chained_fwd(mb, K_RAGGED), xb))
         ragged_real_frames += sum(lens)
 
-    # --- the fused-kernel train step. Chaining through lax.scan OOMs the
-    # scoped VMEM for the Pallas backward custom call inside a while body
-    # (17.4M > 16M limit, observed on v5e), so the chain is a Python loop of
-    # donated-buffer steps instead: each step's params depend on the
-    # previous step's output, and one final loss fetch syncs the chain.
+    # --- the fused-kernel train step, K_TRAIN steps UNROLLED inside one
+    # jitted program. Chaining through lax.scan OOMs the scoped VMEM for the
+    # Pallas backward custom call inside a while body (17.4M > 16M limit,
+    # observed on v5e); a Python loop of separate dispatches pays the axon
+    # tunnel's per-dispatch RPC (~1.5 ms/step measured — a relay artifact,
+    # not device time). The unrolled single program measures the true
+    # device step: 3.90 ms vs 5.40 ms through the per-step dispatch loop at
+    # flagship shape.
     optimizer = make_optimizer(1e-3, 1e-4)
     target = jnp.asarray(rng.random((B, N)), jnp.float32)
     base_key = jax.random.key(1234, impl="rbg")
@@ -120,26 +124,21 @@ def main() -> None:
                                  attn_impl="pallas_block")
         return mse_with_mask_loss(scores, target, pad_mask)
 
-    import functools as _ft
-
-    @_ft.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, x, i):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, x, jax.random.fold_in(base_key, i))
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+    @jax.jit
+    def train_unrolled(params, opt_state, x):
+        loss = None
+        for i in range(K_TRAIN):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x, jax.random.fold_in(base_key, i))
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # private copy: train_step donates its params/opt buffers, and the
-    # forward benches must keep using the originals
     train_params = jax.tree_util.tree_map(jnp.array, params)
     train_state = [train_params, optimizer.init(train_params)]
 
     def run_train_chain():
-        p, o = train_state
-        loss = None
-        for i in range(K_TRAIN):
-            p, o, loss = train_step(p, o, x0, jnp.int32(i))
+        p, o, loss = train_unrolled(train_state[0], train_state[1], x0)
         train_state[0], train_state[1] = p, o
         return np.asarray(loss)
 
@@ -170,7 +169,9 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
-        return max(best - rpc, 1e-9)
+        # rpc jitter can exceed a fast program's runtime; never report
+        # more than a 10x cut from the raw wall time
+        return max(best - rpc, best * 0.1)
 
     # 1) dense scoring (the recorded north-star metric)
     t_dense = best_of(lambda: np.asarray(main_prog(params, x0)))

@@ -176,6 +176,72 @@ def test_bf16_compute_matches_bf16_reference():
         gw, rw)
 
 
+def test_grouped_kernels_match_reference_and_ungrouped():
+    """B=8 × N=128 selects the grouped kernels (8 elements per grid cell,
+    row-batched linear ops). The hash-mask coordinates are per-element
+    absolute, so fwd + the full gradient set must match the dense reference
+    AND stay numerically equivalent to the per-element kernel path."""
+    import vidsum_tpu.ops.block_train as bt
+
+    Bg, Ng = 8, 128
+    assert bt._pick_train_group(Bg, Ng) == 8
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(Bg, Ng, D)), jnp.float32)
+    bm = np.zeros((Bg, Ng), bool)
+    for b in range(Bg):            # ragged: each element its own pad run
+        bm[b, Ng - 3 * b - 1:] = b % 2 == 1
+    mask8 = jnp.asarray(bm.astype(np.int8))[:, None, :]
+    block = _init_block(jax.random.PRNGKey(5), CFG)
+    seed = jnp.asarray([[123]], jnp.int32)
+    co = jnp.asarray(np.random.default_rng(32).normal(size=(Bg, Ng, D)),
+                     jnp.float32)
+
+    def f_fused(x, blk):
+        return jnp.sum(fused_block_train(x, blk, mask8, seed, CFG.num_heads,
+                                         SCALE, RATE) * co)
+
+    def f_ref(x, blk):
+        return jnp.sum(block_reference_with_masks(
+            x, blk, jnp.asarray(bm), 123, CFG.num_heads, SCALE, RATE) * co)
+
+    got = fused_block_train(x, block, mask8, seed, CFG.num_heads, SCALE, RATE)
+    want = block_reference_with_masks(x, block, jnp.asarray(bm), 123,
+                                      CFG.num_heads, SCALE, RATE)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    gx, gw = jax.grad(f_fused, argnums=(0, 1))(x, block)
+    rx, rw = jax.grad(f_ref, argnums=(0, 1))(x, block)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-3, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-3, atol=2e-4),
+        gw, rw)
+
+    # dispatch equivalence: force the per-element path on the same inputs
+    orig = bt._pick_train_group
+    bt._pick_train_group = lambda B_, N_: 1
+    bt._forward.clear_cache()
+    bt._backward.clear_cache()
+    try:
+        got1 = fused_block_train(x, block, mask8, seed, CFG.num_heads,
+                                 SCALE, RATE)
+        gx1, gw1 = jax.grad(f_fused, argnums=(0, 1))(x, block)
+    finally:
+        bt._pick_train_group = orig
+        bt._forward.clear_cache()
+        bt._backward.clear_cache()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx1),
+                               rtol=1e-3, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-3, atol=2e-4),
+        gw, gw1)
+
+
 def test_forward_large_tile_matches_reference():
     """N=256 selects the 256-wide fwd query tile (bwd stays at 128); the
     fwd/bwd hash masks are absolute-coordinate so mixed tiling must stay

@@ -93,6 +93,79 @@ def _block_kernel(x_ref, mask_ref,
     jax.lax.fori_loop(0, n_q_tiles, tile, 0)
 
 
+def _block_kernel_grouped(x_ref, mask_ref,
+                          wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                          wp_ref, bp_ref, ln1s_ref, ln1b_ref,
+                          wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+                          ln2s_ref, ln2b_ref, o_ref, *,
+                          num_heads: int, scale: float, group: int):
+    """Grouped variant for short sequences: one grid cell processes ``group``
+    batch elements. All row-wise ops (QKV/proj/MLP/LN) batch over the G·N
+    rows — the matmuls reach MXU-efficient row counts even at N=128 — and
+    only the attention middle runs per element (its K/V/mask are private).
+    Cuts the sequential grid from B to B/G cells, which dominates the step
+    at pretrain shapes (B=256 × N=128)."""
+    G = group
+    N, d = x_ref.shape[1], x_ref.shape[2]
+    Dh = d // num_heads
+    xf = x_ref[...].reshape(G * N, d)                     # (GN, d)
+
+    k = jnp.dot(xf, wk_ref[...], preferred_element_type=jnp.float32) + bk_ref[...]
+    v = jnp.dot(xf, wv_ref[...], preferred_element_type=jnp.float32) + bv_ref[...]
+    q = jnp.dot(xf, wq_ref[...], preferred_element_type=jnp.float32) + bq_ref[...]
+    k = k.astype(xf.dtype)
+    v = v.astype(xf.dtype)
+
+    groups = []
+    for g in range(G):
+        key_mask = mask_ref[g] != 0                       # (1, N)
+        rows = slice(g * N, (g + 1) * N)
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            s = jax.lax.dot_general(
+                q[rows, sl].astype(xf.dtype), k[rows, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # (N, N)
+            s = jnp.where(key_mask, -jnp.inf, s)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(xf.dtype), v[rows, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))          # (N, Dh)
+        groups.append(jnp.concatenate(outs, axis=1))          # (N, d)
+    attn = jnp.concatenate(groups, axis=0)                    # (GN, d) f32
+
+    proj = (jnp.dot(attn.astype(xf.dtype), wp_ref[...],
+                    preferred_element_type=jnp.float32) + bp_ref[...])
+    h1 = _layernorm_f32(proj + xf.astype(jnp.float32),
+                        ln1s_ref[...], ln1b_ref[...])
+    m1 = jnp.maximum(
+        jnp.dot(h1.astype(xf.dtype), wf1_ref[...],
+                preferred_element_type=jnp.float32) + bf1_ref[...], 0.0)
+    m2 = (jnp.dot(m1.astype(xf.dtype), wf2_ref[...],
+                  preferred_element_type=jnp.float32) + bf2_ref[...])
+    out = _layernorm_f32(m2 + h1, ln2s_ref[...], ln2b_ref[...])
+    o_ref[...] = out.reshape(G, N, d).astype(o_ref.dtype)
+
+
+def _pick_group(B: int, N: int) -> int:
+    """Batch elements per grid cell: aim for ~1024 rows of row-wise matmul
+    work per cell, bounded by VMEM (the grouped kernel keeps x/K/V/Q and the
+    (GN, 4d) MLP activation resident). Measured on v5e (d=256, 4 layers):
+    14.3→20.1 M frames/s at B=8/N=128, 9.5→16.6 M at N=384 (the per-element
+    path falls back to tile 128 there), 12.8→17.5 M at the pretrain shape
+    B=256/N=128. At N≥512 grouping measured neutral (G=2: 1.098 vs 1.092
+    ms) — the per-element adaptive-tile path stays."""
+    if N >= 512:
+        return 1
+    g = max(1, min(B, 1024 // N))
+    while g > 1 and B % g:
+        g -= 1
+    return g
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "scale", "interpret",
                                     "tile_q"))
@@ -112,21 +185,29 @@ def _fused_block(x, pad_mask, flat_w, num_heads: int, scale: float,
             w_specs.append(pl.BlockSpec(w.shape, full1,
                                         memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_block_kernel, num_heads=num_heads,
-                               scale=scale, n_q_tiles=n_q_tiles,
-                               tile_q=tile_q)
+    group = _pick_group(B, N)
+    if group > 1:
+        kernel = functools.partial(_block_kernel_grouped, num_heads=num_heads,
+                                   scale=scale, group=group)
+        io_spec = pl.BlockSpec((group, N, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((group, 1, N), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid = (B // group,)
+    else:
+        kernel = functools.partial(_block_kernel, num_heads=num_heads,
+                                   scale=scale, n_q_tiles=n_q_tiles,
+                                   tile_q=tile_q)
+        io_spec = pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid = (B,)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            *w_specs,
-        ],
-        out_specs=pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid=grid,
+        in_specs=[io_spec, mask_spec, *w_specs],
+        out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=B * N * (8 * d * d + 4 * N * d + 16 * d * d),
@@ -164,10 +245,18 @@ def fused_encoder_block(block_params: Dict[str, Any], x: jnp.ndarray,
         raise ValueError(f"N={N} must be a multiple of {tile_q}")
     # VMEM guard: x + K + V (N, d) + weights (~9d² + 2 score/hidden tiles);
     # beyond ~12 MB the Mosaic allocator will fail — refuse early with a
-    # clear error (callers then use attn_impl='pallas' or 'xla')
+    # clear error (callers then use attn_impl='pallas' or 'xla'). The
+    # grouped path instead keeps x/K/V/Q, attn and the (GN, 4d) MLP
+    # activation resident for G·N rows.
     itm = x.dtype.itemsize
-    vmem = (3 * N * d * itm + 9 * d * d * itm
-            + 4 * tile_q * N + 4 * tile_q * 4 * d)
+    grp = _pick_group(B, N)
+    if grp > 1:
+        rows = grp * N
+        vmem = (3 * rows * d * itm + 9 * d * d * itm
+                + 4 * rows * d * 2 + 4 * rows * 4 * d + 4 * N * N)
+    else:
+        vmem = (3 * N * d * itm + 9 * d * d * itm
+                + 4 * tile_q * N + 4 * tile_q * 4 * d)
     if vmem > 12 * 1024 * 1024:
         raise ValueError(
             f"fused block working set ~{vmem >> 20} MB exceeds VMEM at "

@@ -159,9 +159,13 @@ def _unpack_w(refs, cd):
             for name in PARAM_NAMES}
 
 
+# matmul operand dtype for both kernels; see _mm for the measurement notes.
+OPERAND_DTYPE = jnp.float32
+
+
 def _fwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
                 n_tiles, tile_q):
-    cd = jnp.float32  # measured: bf16 operands are SLOWER here (see _mm)
+    cd = OPERAND_DTYPE
     w_refs = dict(zip(PARAM_NAMES, refs[:16]))
     o_ref = refs[16]
     b = pl.program_id(0)
@@ -190,7 +194,7 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
     g_refs = dict(zip(PARAM_NAMES, refs[18:34]))
     dx_acc, dk_acc, dv_acc = refs[34], refs[35], refs[36]
 
-    cd = jnp.float32  # measured: bf16 operands are SLOWER here (see _mm)
+    cd = OPERAND_DTYPE
     b = pl.program_id(0)
     w = _unpack_w(w_refs, cd)
     key_mask = mask_ref[0] != 0
@@ -299,6 +303,189 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Grouped kernels for short sequences: one grid cell processes ``group``
+# batch elements (same idea as ops/block_kernel._block_kernel_grouped). All
+# row-wise ops batch over the G·N rows; attention and the dropout-mask
+# generation stay per element so the hash coordinates (site, absolute batch,
+# sequence row, col) — and therefore the mask bits — are identical to the
+# per-element kernels and the dense reference.
+# ---------------------------------------------------------------------------
+
+def _group_keep(seed, site, b0, G, N, cols, rate):
+    """Row-batched keep mask (G·N, cols) built from per-element slabs."""
+    return jnp.concatenate(
+        [_hash_keep(seed, site, b0 * G + g, 0, (N, cols), rate)
+         for g in range(G)], axis=0)
+
+
+def _group_forward(x_ref, w, mask_ref, seed, b0, G, num_heads, scale, rate,
+                   cd, full=True):
+    """Forward for one grid cell of G elements; returns row-batched (G·N, ·)
+    intermediates plus (with ``full=True``) the per-(g, h) softmax list."""
+    N, d = x_ref.shape[1], x_ref.shape[2]
+    Dh = d // num_heads
+    xf_cd = x_ref[...].reshape(G * N, d).astype(cd)
+    xf = xf_cd.astype(jnp.float32)
+    q = _mm(xf_cd, w["wq"]) + w["bq"]
+    k = (_mm(xf_cd, w["wk"]) + w["bk"]).astype(cd)
+    v = (_mm(xf_cd, w["wv"]) + w["bv"]).astype(cd)
+
+    groups, heads = [], []
+    for g in range(G):
+        key_mask = mask_ref[g] != 0                       # (1, N)
+        rows = slice(g * N, (g + 1) * N)
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            s = _mm(q[rows, sl], k[rows, sl], tb=True, cd=cd) * scale
+            s = jnp.where(key_mask, NEG_INF, s)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            keep = _hash_keep(seed, S_ATTN * 8 + h, b0 * G + g, 0, p.shape,
+                              rate)
+            pd = _drop(p, keep, rate).astype(cd)
+            outs.append(_mm(pd, v[rows, sl]))
+            if full:
+                heads.append(p)                           # index g*H + h
+        groups.append(jnp.concatenate(outs, axis=1))
+    attn = jnp.concatenate(groups, axis=0)                # (GN, d) f32
+
+    proj = _mm(attn, w["wp"], cd=cd) + w["bp"]
+    keep1 = _group_keep(seed, S_RES1, b0, G, N, d, rate)
+    z1 = _drop(proj, keep1, rate) + xf
+    h1, xhat1, inv1 = _ln_fwd(z1, w["ln1s"], w["ln1b"])
+    a1 = _mm(h1, w["wf1"], cd=cd) + w["bf1"]              # (GN, 4d)
+    r1 = jnp.maximum(a1, 0.0)
+    keepm = _group_keep(seed, S_MLP, b0, G, N, a1.shape[-1], rate)
+    m1d = _drop(r1, keepm, rate).astype(cd)
+    m2 = _mm(m1d, w["wf2"]) + w["bf2"]
+    keep2 = _group_keep(seed, S_RES2, b0, G, N, d, rate)
+    z2 = _drop(m2, keep2, rate) + h1
+    out, xhat2, inv2 = _ln_fwd(z2, w["ln2s"], w["ln2b"])
+    return dict(xf=xf, xf_cd=xf_cd, q=q, k=k, v=v, heads=heads, attn=attn,
+                xhat1=xhat1, inv1=inv1, h1=h1, a1=a1,
+                xhat2=xhat2, inv2=inv2, out=out)
+
+
+def _fwd_kernel_grouped(x_ref, mask_ref, seed_ref, *refs, num_heads, scale,
+                        rate, group):
+    cd = OPERAND_DTYPE
+    w = _unpack_w(dict(zip(PARAM_NAMES, refs[:16])), cd)
+    o_ref = refs[16]
+    G, N, d = x_ref.shape
+    t = _group_forward(x_ref, w, mask_ref, seed_ref[0, 0], pl.program_id(0),
+                       group, num_heads, scale, rate, cd, full=False)
+    o_ref[...] = t["out"].reshape(G, N, d).astype(o_ref.dtype)
+
+
+def _bwd_kernel_grouped(x_ref, mask_ref, seed_ref, *refs, num_heads, scale,
+                        rate, group):
+    w_refs = dict(zip(PARAM_NAMES, refs[:16]))
+    do_ref = refs[16]
+    dx_ref = refs[17]
+    g_refs = dict(zip(PARAM_NAMES, refs[18:34]))
+
+    cd = OPERAND_DTYPE
+    G, N, d = x_ref.shape
+    Dh = d // num_heads
+    b_cell = pl.program_id(0)
+    w = _unpack_w(w_refs, cd)
+    seed = seed_ref[0, 0]
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    @pl.when(b_cell == 0)
+    def _():
+        for name in PARAM_NAMES:
+            g_refs[name][...] = jnp.zeros_like(g_refs[name])
+
+    t = _group_forward(x_ref, w, mask_ref, seed, b_cell, G, num_heads,
+                       scale, rate, cd)
+    do = do_ref[...].reshape(G * N, d).astype(jnp.float32)
+
+    keep1 = _group_keep(seed, S_RES1, b_cell, G, N, d, rate)
+    keep2 = _group_keep(seed, S_RES2, b_cell, G, N, d, rate)
+    keepm = _group_keep(seed, S_MLP, b_cell, G, N, t["a1"].shape[-1], rate)
+    m1d = _drop(jnp.maximum(t["a1"], 0.0), keepm, rate)
+
+    dz2, dg2, db2 = _ln_bwd(do, t["xhat2"], t["inv2"], w["ln2s"])
+    g_refs["ln2s"][...] += dg2
+    g_refs["ln2b"][...] += db2
+    dh1 = dz2
+    dm2 = jnp.where(keep2, dz2 * inv_keep, 0.0) if rate > 0.0 else dz2
+
+    g_refs["wf2"][...] += _mm(m1d, dm2, ta=True, cd=cd)
+    g_refs["bf2"][...] += dm2.sum(axis=0)
+    da1 = _mm(dm2, w["wf2"], tb=True, cd=cd)
+    if rate > 0.0:
+        da1 = jnp.where(keepm, da1 * inv_keep, 0.0)
+    da1 = jnp.where(t["a1"] > 0.0, da1, 0.0)
+
+    g_refs["wf1"][...] += _mm(t["h1"], da1, ta=True, cd=cd)
+    g_refs["bf1"][...] += da1.sum(axis=0)
+    dh1 = dh1 + _mm(da1, w["wf1"], tb=True, cd=cd)
+
+    dz1, dg1, db1 = _ln_bwd(dh1, t["xhat1"], t["inv1"], w["ln1s"])
+    g_refs["ln1s"][...] += dg1
+    g_refs["ln1b"][...] += db1
+    dxf = dz1
+    dproj = jnp.where(keep1, dz1 * inv_keep, 0.0) if rate > 0.0 else dz1
+
+    g_refs["wp"][...] += _mm(t["attn"], dproj, ta=True, cd=cd)
+    g_refs["bp"][...] += dproj.sum(axis=0)
+    dattn = _mm(dproj, w["wp"], tb=True, cd=cd)           # (GN, d)
+
+    dq_groups, dk_groups, dv_groups = [], [], []
+    for g in range(G):
+        rows = slice(g * N, (g + 1) * N)
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(num_heads):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            p = t["heads"][g * num_heads + h]
+            keep = _hash_keep(seed, S_ATTN * 8 + h, b_cell * G + g, 0,
+                              p.shape, rate)
+            pd = _drop(p, keep, rate).astype(cd)
+            do_h = dattn[rows, sl]
+            dv_parts.append(_mm(pd, do_h, ta=True, cd=cd))
+            dpd = _mm(do_h, t["v"][rows, sl], tb=True, cd=cd)
+            dp = (jnp.where(keep, dpd * inv_keep, 0.0)
+                  if rate > 0.0 else dpd)
+            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            dq_parts.append(_mm(ds, t["k"][rows, sl], cd=cd) * scale)
+            dk_parts.append(_mm(ds, t["q"][rows, sl], ta=True, cd=cd) * scale)
+        dq_groups.append(jnp.concatenate(dq_parts, axis=1))
+        dk_groups.append(jnp.concatenate(dk_parts, axis=1))
+        dv_groups.append(jnp.concatenate(dv_parts, axis=1))
+    dq = jnp.concatenate(dq_groups, axis=0)               # (GN, d)
+    dk = jnp.concatenate(dk_groups, axis=0)
+    dv = jnp.concatenate(dv_groups, axis=0)
+
+    g_refs["wq"][...] += _mm(t["xf_cd"], dq, ta=True, cd=cd)
+    g_refs["bq"][...] += dq.sum(axis=0)
+    g_refs["wk"][...] += _mm(t["xf_cd"], dk, ta=True, cd=cd)
+    g_refs["bk"][...] += dk.sum(axis=0)
+    g_refs["wv"][...] += _mm(t["xf_cd"], dv, ta=True, cd=cd)
+    g_refs["bv"][...] += dv.sum(axis=0)
+
+    dx = (dxf + _mm(dq, w["wq"], tb=True, cd=cd)
+          + _mm(dk, w["wk"], tb=True, cd=cd)
+          + _mm(dv, w["wv"], tb=True, cd=cd))
+    dx_ref[...] = dx.reshape(G, N, d).astype(dx_ref.dtype)
+
+
+def _pick_train_group(B: int, N: int) -> int:
+    """Group policy for the train kernels (same rationale/caps as
+    ops/block_kernel._pick_group; the bwd additionally retains G·H (N, N)
+    f32 softmax tensors, which stays under 5 MB at these caps)."""
+    if N >= 512:
+        return 1
+    g = max(1, min(B, 1024 // N))
+    while g > 1 and B % g:
+        g -= 1
+    return g
+
+
 def _cast_w(flat_w, cd):
     """2-D weights → compute dtype (VMEM blocks shrink with bf16); biases
     and LN vectors stay f32."""
@@ -375,21 +562,34 @@ def _pick_bwd_tile(N: int) -> int:
                                              "interpret"))
 def _forward(x, mask, seed, flat_w, num_heads, scale, rate, interpret):
     B, N, d = x.shape
-    tile_q = _pick_fwd_tile(N)
-    kernel = functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
-                               rate=rate, n_tiles=N // tile_q, tile_q=tile_q)
+    group = _pick_train_group(B, N)
+    if group > 1:
+        kernel = functools.partial(_fwd_kernel_grouped, num_heads=num_heads,
+                                   scale=scale, rate=rate, group=group)
+        io_spec = pl.BlockSpec((group, N, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((group, 1, N), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid = (B // group,)
+    else:
+        tile_q = _pick_fwd_tile(N)
+        kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
+                                   scale=scale, rate=rate,
+                                   n_tiles=N // tile_q, tile_q=tile_q)
+        io_spec = pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid = (B,)
     return pl.pallas_call(
-        kernel, grid=(B,),
+        kernel, grid=grid,
         in_specs=[
-            pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            io_spec,
+            mask_spec,
             pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
             *_w_specs(flat_w),
         ],
-        out_specs=pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -401,9 +601,6 @@ def _forward(x, mask, seed, flat_w, num_heads, scale, rate, interpret):
                                              "interpret"))
 def _backward(x, mask, seed, flat_w, do, num_heads, scale, rate, interpret):
     B, N, d = x.shape
-    tile_q = _pick_bwd_tile(N)
-    kernel = functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale,
-                               rate=rate, n_tiles=N // tile_q, tile_q=tile_q)
     # param-grad outputs revisit one block across the sequential grid
     grad_specs = []
     grad_shapes = []
@@ -415,24 +612,41 @@ def _backward(x, mask, seed, flat_w, do, num_heads, scale, rate, interpret):
             grad_specs.append(pl.BlockSpec(wv_.shape, lambda b: (0,),
                                            memory_space=pltpu.VMEM))
         grad_shapes.append(jax.ShapeDtypeStruct(wv_.shape, jnp.float32))
+    group = _pick_train_group(B, N)
+    if group > 1:
+        kernel = functools.partial(_bwd_kernel_grouped, num_heads=num_heads,
+                                   scale=scale, rate=rate, group=group)
+        io_spec = pl.BlockSpec((group, N, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((group, 1, N), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid = (B // group,)
+        scratch = []
+    else:
+        tile_q = _pick_bwd_tile(N)
+        kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
+                                   scale=scale, rate=rate,
+                                   n_tiles=N // tile_q, tile_q=tile_q)
+        io_spec = pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        mask_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid = (B,)
+        scratch = [pltpu.VMEM((N, d), jnp.float32),
+                   pltpu.VMEM((N, d), jnp.float32),
+                   pltpu.VMEM((N, d), jnp.float32)]
     out = pl.pallas_call(
-        kernel, grid=(B,),
+        kernel, grid=grid,
         in_specs=[
-            pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            io_spec,
+            mask_spec,
             pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
             *_w_specs(flat_w),
-            pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            io_spec,
         ],
-        out_specs=(pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
-                                memory_space=pltpu.VMEM), *grad_specs),
+        out_specs=(io_spec, *grad_specs),
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype), *grad_shapes),
-        scratch_shapes=[pltpu.VMEM((N, d), jnp.float32),
-                        pltpu.VMEM((N, d), jnp.float32),
-                        pltpu.VMEM((N, d), jnp.float32)],
+        scratch_shapes=scratch,
         # the bwd working set (weights + grads + per-head softmax tiles)
         # legitimately exceeds Mosaic's conservative 16 MB default scoped-
         # VMEM cap at flagship shapes; v5e has 128 MB VMEM per core
@@ -453,7 +667,7 @@ def fused_block_train(x, block_params, mask, seed, num_heads: int,
     """
     assert num_heads <= MAX_HASH_HEADS, (
         f"dropout site encoding supports <= {MAX_HASH_HEADS} heads")
-    flat_w = _cast_w(_flatten_params(block_params), jnp.float32)
+    flat_w = _cast_w(_flatten_params(block_params), OPERAND_DTYPE)
     return _forward(x, mask, seed, flat_w, num_heads, scale, rate,
                     _interpret())
 
@@ -466,7 +680,7 @@ def _vjp_fwd(x, block_params, mask, seed, num_heads, scale, rate):
 
 def _vjp_bwd(num_heads, scale, rate, residuals, do):
     x, block_params, mask, seed = residuals
-    flat_w = _cast_w(_flatten_params(block_params), jnp.float32)
+    flat_w = _cast_w(_flatten_params(block_params), OPERAND_DTYPE)
     dx, flat_grads = _backward(x, mask, seed, flat_w, do.astype(x.dtype),
                                num_heads, scale, rate, _interpret())
     return dx, _unflatten_grads(flat_grads), None, None
