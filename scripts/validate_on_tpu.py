@@ -168,6 +168,59 @@ def main() -> None:
     check("fused block train bf16 dw", worst < 5e-2,
           f"worst rel err {worst:.2e}")
 
+    # grouped kernels (N<512 routes G=1024//N elements per grid cell):
+    # grouped and per-element paths must agree on chip, not just in
+    # interpret mode (vector layouts differ between the row-batched and
+    # tiled lowerings)
+    import vidsum_tpu.ops.block_kernel as _bk
+    import vidsum_tpu.ops.block_train as _bt
+
+    xg8 = jnp.asarray(rng.normal(size=(8, 128, 256)), jnp.bfloat16)
+    bm8 = np.zeros((8, 128), bool)
+    bm8[1, 100:] = True
+    mask8g = jnp.asarray(bm8.astype(np.int8))[:, None, :]
+    seed_g = jnp.asarray([[31]], jnp.int32)
+    assert _bt._pick_train_group(8, 128) == 8
+    got_g = fused_block_train(xg8, block, mask8g, seed_g, 4, bcfg.attn_scale,
+                              0.3).astype(jnp.float32)
+    co_g = jnp.asarray(rng.normal(size=(8, 128, 256)), jnp.float32)
+    gx_g, gw_g = jax.grad(
+        lambda x_, blk: jnp.sum(fused_block_train(
+            x_, blk, mask8g, seed_g, 4, bcfg.attn_scale,
+            0.3).astype(jnp.float32) * co_g), argnums=(0, 1))(xg8, block)
+    _orig_pick = _bt._pick_train_group
+    _bt._pick_train_group = lambda B_, N_: 1
+    _bt._forward.clear_cache()
+    _bt._backward.clear_cache()
+    try:
+        got_e = fused_block_train(xg8, block, mask8g, seed_g, 4,
+                                  bcfg.attn_scale, 0.3).astype(jnp.float32)
+        gx_e, gw_e = jax.grad(
+            lambda x_, blk: jnp.sum(fused_block_train(
+                x_, blk, mask8g, seed_g, 4, bcfg.attn_scale,
+                0.3).astype(jnp.float32) * co_g), argnums=(0, 1))(xg8, block)
+    finally:
+        _bt._pick_train_group = _orig_pick
+        _bt._forward.clear_cache()
+        _bt._backward.clear_cache()
+    dfg = float(jnp.abs(got_g - got_e).max())
+    check("grouped train kernel fwd == per-element on chip", dfg < 0.1,
+          f"max diff {dfg:.2e}")
+    relg = float(jnp.abs(gx_g.astype(jnp.float32)
+                         - gx_e.astype(jnp.float32)).max()
+                 / jnp.abs(gx_e.astype(jnp.float32)).max())
+    check("grouped train kernel dx == per-element on chip", relg < 5e-2,
+          f"max rel err {relg:.2e}")
+    gws = max(float(jnp.abs(b).max())
+              for b in jax.tree_util.tree_leaves(gw_e))
+    worst_g = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(gw_g),
+                    jax.tree_util.tree_leaves(gw_e)):
+        denom = max(float(jnp.abs(b).max()), 1e-4 * gws)
+        worst_g = max(worst_g, float(jnp.abs(a - b).max()) / denom)
+    check("grouped train kernel dw == per-element on chip", worst_g < 5e-2,
+          f"worst rel err {worst_g:.2e}")
+
     # on-device eval (eval_impl='device'): golden parity + measured latency
     import time as _time
 
