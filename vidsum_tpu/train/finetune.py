@@ -56,6 +56,7 @@ def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
     folding (split, epoch) into the seed — a resumed run therefore replays
     the exact shuffle and dropout bits of an uninterrupted one."""
     loss_avg = AverageMeter()
+    step_losses = []
     for batch_idx in make_batches(len(dataset), cfg.train.batch_size,
                                   shuffle=True, rng=rng_np,
                                   pad_to_batch=pad_to_batch):
@@ -66,7 +67,12 @@ def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(x), jnp.asarray(t),
             jnp.asarray(mask), sub)
-        loss_avg.update(float(loss), 1)
+        # keep the loss on device: a float() here would force a blocking
+        # host fetch per step (the axon relay charges ~ms per sync) and
+        # serialize the dispatch pipeline. One stacked fetch per epoch.
+        step_losses.append(loss)
+    for l in (np.asarray(jnp.stack(step_losses)) if step_losses else ()):
+        loss_avg.update(float(l), 1)
     return params, opt_state, loss_avg.avg(), rng_jax
 
 

@@ -72,6 +72,7 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
     history = []
     for epoch in range(pcfg.epochs):
         epoch_loss = AverageMeter()
+        step_records = []
         for i, batch_idx in enumerate(make_batches(
                 len(dataset), pcfg.batch_size, shuffle=True, rng=rng_np,
                 drop_last=True)):
@@ -83,13 +84,18 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
             params, opt_state, losses = step_fn(
                 params, opt_state, jnp.asarray(x), jnp.asarray(v),
                 jnp.asarray(mask), sub)
-            total, main, center, repel = (float(l) for l in losses)
-            epoch_loss.update(total, 1)
+            # losses stay on device between log boundaries — per-step
+            # float() fetches would serialize the dispatch pipeline
+            # through the relay (one blocking sync per step)
+            step_records.append(jnp.stack(losses))
             if (i + 1) % log_every == 0:
+                total, main, center, repel = (float(l) for l in losses)
                 logger.info("Epoch %3d step %d: loss %.5f (main %.5f "
                             "center %.5f repel %.5f)", epoch, i + 1, total,
                             main, center, repel)
-        if epoch_loss.num:
+        if step_records:
+            for total in np.asarray(jnp.stack(step_records))[:, 0]:
+                epoch_loss.update(float(total), 1)
             history.append(epoch_loss.avg())
             logger.info("Total Loss %f", epoch_loss.avg())
         # weight-only encoder checkpoint for the finetune warm start
