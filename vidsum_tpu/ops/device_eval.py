@@ -1,6 +1,8 @@
 """Opt-in fully on-device summary generation (``eval_impl="device"``).
 
-One jitted XLA program per shape bucket runs the whole summary pipeline of
+One jitted XLA program per dataset-wide shape bucket — vmapped over the
+video axis, so an entire val set is one dispatch + one fetch — runs the
+whole summary pipeline of
 ``src/evaluation/generate_summary.py:6-57`` on the accelerator: score
 upsampling (gather via searchsorted — exact, no arithmetic), per-shot mean
 importance (f32 cumulative sums), the 0/1-knapsack DP over shots
@@ -33,12 +35,10 @@ def _bucket(n: int, step: int = 128) -> int:
     return max(step, -(-n // step) * step)
 
 
-@functools.lru_cache(maxsize=None)
-def _make_kernel(P: int, F: int, S: int, W: int):
-    """Jitted summary program for a (picks, frames, shots, table-width)
-    shape bucket. Returns fn(scores, picks, n_picks, cps, n_shots, n_frames,
-    budget) -> (summary (F,) int8, taken (S,) bool)."""
-    import jax
+def _kernel_fn(P: int, F: int, S: int, W: int):
+    """Summary program for a (picks, frames, shots, table-width) shape
+    bucket: fn(scores, picks, n_picks, cps, n_shots, n_frames, budget)
+    -> (summary (F,) int8, taken (S,) bool). Pure jax — vmap/jit-safe."""
     import jax.numpy as jnp
 
     def kernel(scores, picks, n_picks, cps, n_shots, n_frames, budget):
@@ -77,7 +77,26 @@ def _make_kernel(P: int, F: int, S: int, W: int):
         summary = in_shot.any(axis=0).astype(jnp.int8)
         return summary, taken
 
-    return jax.jit(kernel)
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kernel(P: int, F: int, S: int, W: int):
+    """Jitted single-video kernel (kept for ad-hoc use/validation)."""
+    import jax
+
+    return jax.jit(_kernel_fn(P, F, S, W))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_batched_kernel(P: int, F: int, S: int, W: int):
+    """Jitted kernel vmapped over a leading video axis: the whole val set
+    runs as ONE device program (one dispatch + one result fetch through the
+    tunnel, vs one of each per video — the per-video RPC was ~50x the
+    compute; see PERF.md 'On-device eval')."""
+    import jax
+
+    return jax.jit(jax.vmap(_kernel_fn(P, F, S, W)))
 
 
 def device_generate_summary(all_shot_bound: Sequence[np.ndarray],
@@ -88,41 +107,54 @@ def device_generate_summary(all_shot_bound: Sequence[np.ndarray],
     """Drop-in device-side counterpart of
     :func:`vidsum_tpu.ops.summary.generate_summary` (same signature/returns).
 
-    Shapes are padded to multiples of 128 (picks/frames) and 16 (shots) so a
-    handful of compiled programs cover a whole dataset.
+    All videos are padded to dataset-wide shape buckets (multiples of 128
+    for picks/frames, 16 for shots, 8 for the video axis) and run as a
+    single vmapped program: one dispatch + one fetch for the whole set.
     """
     import jax.numpy as jnp
 
-    out = []
-    for shot_bound, scores, n_frames, positions in zip(
-            all_shot_bound, all_scores, all_nframes, all_positions):
-        shot_bound = np.asarray(shot_bound, np.int32)
-        positions = np.asarray(positions).astype(np.int32).reshape(-1)
-        scores = np.asarray(scores, np.float32).reshape(-1)
-        n_frames = int(np.asarray(n_frames).reshape(()))
-        final_end = int(shot_bound[-1, 1])
-        # float64 budget rounding on host, like the reference (":46")
-        budget = int((final_end + 1) * budget_ratio)
+    V = len(all_shot_bound)
+    if V == 0:
+        return []
 
-        P = _bucket(len(positions))
-        F = _bucket(max(n_frames, final_end + 1))
-        S = _bucket(len(shot_bound), 16)
-        W = _bucket(budget, 256)
-        kern = _make_kernel(P, F, S, W)
+    shot_bounds = [np.asarray(sb, np.int32) for sb in all_shot_bound]
+    positions = [np.asarray(p).astype(np.int32).reshape(-1)
+                 for p in all_positions]
+    scores = [np.asarray(s, np.float32).reshape(-1) for s in all_scores]
+    n_frames = [int(np.asarray(n).reshape(())) for n in all_nframes]
+    final_ends = [int(sb[-1, 1]) for sb in shot_bounds]
+    # float64 budget rounding on host, like the reference (":46")
+    budgets = [int((fe + 1) * budget_ratio) for fe in final_ends]
 
-        pos_pad = np.full((P,), np.iinfo(np.int32).max, np.int32)
-        pos_pad[: len(positions)] = positions
-        sc_pad = np.zeros((P,), np.float32)
-        sc_pad[: min(len(scores), P)] = scores[:P]
-        cp_pad = np.zeros((S, 2), np.int32)
-        cp_pad[: len(shot_bound)] = shot_bound
+    # dataset-wide buckets => one compiled program per dataset shape class
+    P = _bucket(max(len(p) for p in positions))
+    F = _bucket(max(max(nf, fe + 1) for nf, fe in zip(n_frames, final_ends)))
+    S = _bucket(max(len(sb) for sb in shot_bounds), 16)
+    W = _bucket(max(budgets), 256)
+    Vb = _bucket(V, 8)
+
+    pos_pad = np.full((Vb, P), np.iinfo(np.int32).max, np.int32)
+    sc_pad = np.zeros((Vb, P), np.float32)
+    cp_pad = np.zeros((Vb, S, 2), np.int32)
+    n_picks = np.zeros((Vb,), np.int32)
+    n_shots = np.zeros((Vb,), np.int32)
+    nf_arr = np.zeros((Vb,), np.int32)
+    bud_arr = np.zeros((Vb,), np.int32)
+    for v in range(V):
+        pos_pad[v, : len(positions[v])] = positions[v]
         # host upsample: segments beyond len(scores) are zero-filled; the
         # device kernel reads scores[j] with zero padding => same semantics.
-        n_picks = min(len(positions), P)
+        sc_pad[v, : min(len(scores[v]), P)] = scores[v][:P]
+        cp_pad[v, : len(shot_bounds[v])] = shot_bounds[v]
+        n_picks[v] = min(len(positions[v]), P)
+        n_shots[v] = len(shot_bounds[v])
+        nf_arr[v] = n_frames[v]
+        bud_arr[v] = budgets[v]
 
-        summary, _ = kern(jnp.asarray(sc_pad), jnp.asarray(pos_pad),
-                          np.int32(n_picks), jnp.asarray(cp_pad),
-                          np.int32(len(shot_bound)), np.int32(n_frames),
-                          np.int32(budget))
-        out.append(np.asarray(summary)[: final_end + 1])
-    return out
+    kern = _make_batched_kernel(P, F, S, W)
+    summaries, _ = kern(jnp.asarray(sc_pad), jnp.asarray(pos_pad),
+                        jnp.asarray(n_picks), jnp.asarray(cp_pad),
+                        jnp.asarray(n_shots), jnp.asarray(nf_arr),
+                        jnp.asarray(bud_arr))
+    summaries = np.asarray(summaries)  # single fetch
+    return [summaries[v, : final_ends[v] + 1] for v in range(V)]
