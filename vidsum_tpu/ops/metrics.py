@@ -77,7 +77,7 @@ def eval_metrics(score_dict: Dict[str, np.ndarray], user_dict: Dict[str, object]
     Returns mean (F-score, Kendall-τ, Spearman-ρ) over videos.
 
     :param impl: ``"host"`` (bit-parity NumPy/C++ pipeline, the oracle) or
-        ``"device"`` (one XLA program per video via
+        ``"device"`` (one vmapped XLA program for the whole video set via
         :mod:`vidsum_tpu.ops.device_eval`; see its parity contract).
     """
     keys = list(score_dict.keys())
