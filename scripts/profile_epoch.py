@@ -34,18 +34,20 @@ def main() -> None:
     from vidsum_tpu.data.synthetic import make_synthetic_h5
     from vidsum_tpu.models.simnet import init_simnet
     from vidsum_tpu.ops.metrics import eval_metrics
-    from vidsum_tpu.train.checkpoint import save_checkpoint
+    from vidsum_tpu.train.checkpoint import AsyncCheckpointer
     from vidsum_tpu.train.steps import (
         make_eval_forward, make_finetune_step, make_optimizer,
     )
 
+    import dataclasses
     cfg = Config()
-    cfg.train.batch_size = 4
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=4))
     tmp = tempfile.mkdtemp()
     make_synthetic_h5(
         os.path.join(tmp, "summarizer_dataset_tvsum_google_pool5.h5"),
         n_videos=50, seed=0)
-    keys = [f"tvsum/video_{i}" for i in range(1, 51)]
+    keys = [f"tvsum/video_{i}" for i in range(50)]
     train_set = TSDataset(tmp, "tvsum", "tvsum", keys[:40], split="train",
                           min_frames=cfg.data.min_train_frames)
     val_set = TSDataset(tmp, "tvsum", "tvsum", keys[40:], split="val")
@@ -63,6 +65,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp()
     save_path = os.path.join(workdir, "model.ckpt")
     state_path = os.path.join(workdir, "state.ckpt")
+    ckpt = AsyncCheckpointer()
 
     n_epochs = 6
     for epoch in range(n_epochs):
@@ -90,6 +93,10 @@ def main() -> None:
         # --- loss fetch (syncs the whole train phase)
         losses = np.asarray(jnp.stack(step_losses))
         t2 = time.perf_counter()
+        # start checkpoint host copies under the val pass (as the driver)
+        from vidsum_tpu.train.finetune import _start_host_copy
+        _start_host_copy(params)
+        _start_host_copy(opt_state)
         # --- val forward
         from collections import defaultdict
 
@@ -117,18 +124,22 @@ def main() -> None:
         # --- host eval pipeline
         f, k, s = eval_metrics(score_dict, user_dict)
         t4 = time.perf_counter()
-        # --- checkpoints (as the driver does: both files)
-        save_checkpoint(save_path, params, meta={"epoch": epoch})
-        save_checkpoint(state_path, {"params": params,
-                                     "opt_state": opt_state},
-                        meta={"epoch": epoch})
+        # --- checkpoints (as the driver does: one fetch, async writes)
+        host_params = jax.device_get(params)
+        host_state = {"params": host_params,
+                      "opt_state": jax.device_get(opt_state)}
+        t4b = time.perf_counter()
+        ckpt.save(save_path, host_params, meta={"epoch": epoch})
+        ckpt.save(state_path, host_state, meta={"epoch": epoch})
         t5 = time.perf_counter()
         print(f"epoch {epoch}: total {t5 - t0:6.3f}s | "
               f"train-dispatch {t1 - t0:6.3f}s ({n_steps} steps, "
               f"host-prep {t_host_prep:5.3f}s) | "
               f"loss-fetch {t2 - t1:6.3f}s | val-fwd {t3 - t2:6.3f}s | "
-              f"host-eval {t4 - t3:6.3f}s | ckpt {t5 - t4:6.3f}s | "
+              f"host-eval {t4 - t3:6.3f}s | ckpt-fetch {t4b - t4:6.3f}s "
+              f"ckpt-queue {t5 - t4b:6.3f}s | "
               f"loss {losses.mean():.4f} F {f:.2f}")
+    ckpt.flush()
 
 
 if __name__ == "__main__":

@@ -53,6 +53,33 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_checkpointer(tmp_path):
+    """Queued writes land atomically; same-path saves keep submission order;
+    flush surfaces worker failures."""
+    import pytest
+
+    from vidsum_tpu.train import AsyncCheckpointer
+
+    params = init_simnet(jax.random.PRNGKey(0), TINY_MODEL)
+    host = jax.device_get(params)
+    path = str(tmp_path / "ck.msgpack")
+    ckpt = AsyncCheckpointer()
+    stale = jax.tree_util.tree_map(np.zeros_like, host)
+    ckpt.save(path, stale, meta={"epoch": 0})
+    ckpt.save(path, host, meta={"epoch": 1})  # last write must win
+    ckpt.flush()
+    zeros = jax.tree_util.tree_map(np.zeros_like, params)
+    restored, meta = load_checkpoint(path, zeros)
+    assert meta == {"epoch": 1}
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ckpt.save(str(tmp_path / "no_dir" / "x.ckpt"), host)  # unwritable path
+    with pytest.raises(Exception):
+        ckpt.flush()
+
+
 def test_finetune_micro_train(data_root, tmp_path):
     """2-epoch micro-train: loss decreases, metrics come out, ckpt written."""
     cfg = tiny_config(data_root)

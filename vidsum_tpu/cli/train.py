@@ -70,7 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("host", "device"),
                    help="summary pipeline for val epochs: 'host' = "
                         "bit-parity NumPy/C++ (default), 'device' = one "
-                        "jitted XLA program per video")
+                        "vmapped XLA program for the whole val set")
+    p.add_argument("--state_save_every", type=int, default=1,
+                   help="save the full resume state every K epochs (the "
+                        "weight-only model checkpoint still saves every "
+                        "epoch like the reference); the last epoch of a "
+                        "split always saves")
     return p
 
 
@@ -86,7 +91,9 @@ def config_from_args(args) -> Config:
         train=TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
                           batch_size=args.batch_size,
                           max_epoch=args.max_epoch,
-                          use_pretrained=args.use_model),
+                          use_pretrained=args.use_model,
+                          state_save_every=getattr(args, "state_save_every",
+                                                   1)),
     )
 
 

@@ -118,6 +118,15 @@ class TrainConfig:
     # the dense path; 'auto' picks pallas_block on TPU and xla elsewhere
     # (interpret mode is only for correctness tests).
     attn_impl: str = "auto"
+    # Save the full resume state (params + Adam moments) every K epochs
+    # (plus, always, each split's last epoch). The weight-only model
+    # checkpoint still saves every epoch like the reference (train.py:95).
+    # At flagship size the state is ~41 MB and the axon relay moves
+    # ~15 MB/s, so the default per-epoch state save costs ~2.7 s/epoch of
+    # device->host fetch; raising K trades resume granularity for that
+    # (exact-replay RNG streams make a coarser resume bit-identical, just
+    # recomputed). 1 = reference-faithful always-resumable default.
+    state_save_every: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

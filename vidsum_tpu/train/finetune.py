@@ -33,7 +33,9 @@ from vidsum_tpu.data.collate import make_batches, pad_batch
 from vidsum_tpu.data.datasets import TSDataset
 from vidsum_tpu.models.simnet import count_params, init_simnet
 from vidsum_tpu.ops.metrics import eval_metrics
-from vidsum_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from vidsum_tpu.train.checkpoint import (
+    AsyncCheckpointer, load_checkpoint,
+)
 from vidsum_tpu.train.steps import (
     make_eval_forward, make_finetune_step, make_optimizer,
 )
@@ -48,6 +50,20 @@ class FinetuneResult:
     kendall_tau: float
     spearman_rho: float
     per_split: List[Dict[str, float]]
+
+
+def _start_host_copy(tree) -> None:
+    """Kick off async device→host copies for every array in ``tree`` so a
+    later ``jax.device_get`` finds the data already on host. Best-effort:
+    backends without ``copy_to_host_async`` just fall through to the
+    synchronous fetch."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        fn = getattr(leaf, "copy_to_host_async", None)
+        if fn is not None:
+            try:
+                fn()
+            except Exception:
+                return
 
 
 def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
@@ -139,6 +155,7 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
     from vidsum_tpu.utils.profiling import trace
 
     metrics = MetricsLogger(metrics_path)
+    ckpt = AsyncCheckpointer()
     state_path = os.path.join(workdir, "train_state.ckpt")
     resume_meta = None
     if resume and os.path.exists(state_path + ".meta.json"):
@@ -193,6 +210,7 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
         if split_idx < start_split:
             continue
         logger.info("Split %d", split_idx + 1)
+        ckpt.flush()  # checkpoint files may be read back below
         # init stays on the default PRNG (stable param values across rng_impl
         # choices); the dropout stream uses the configured implementation
         _, init_key = jax.random.split(jax.random.PRNGKey(cfg.train.seed))
@@ -250,6 +268,13 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
                 params, opt_state, train_loss, _ = _train_epoch(
                     step_fn, params, opt_state, train_set, cfg, rng_np,
                     rng_epoch, pad_to_batch=mesh is not None)
+            save_state = ((epoch + 1) % max(cfg.train.state_save_every, 1)
+                          == 0 or epoch == cfg.train.max_epoch - 1)
+            # start the device→host checkpoint copies before the val pass so
+            # the ~15 MB/s relay transfer overlaps the val dispatches
+            _start_host_copy(params)
+            if save_state:
+                _start_host_copy(opt_state)
             val_loss, f, k, s = _val_epoch(fwd, params, val_set, cfg)
             fs.append(f)
             if not (np.isnan(k) or np.isnan(s)):
@@ -261,12 +286,20 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             metrics.log({"split": split_idx, "epoch": epoch,
                          "train_loss": train_loss, "val_loss": val_loss,
                          "fscore": f, "kendall_tau": k, "spearman_rho": s})
-            save_checkpoint(save_path, params,
-                            meta={"epoch": epoch, "split": split_idx})
-            save_checkpoint(
-                state_path, {"params": params, "opt_state": opt_state},
-                meta={"epoch": epoch, "split": split_idx,
-                      "per_split": per_split, "fs": fs, "ks": ks, "ss": ss})
+            # one device→host fetch for both files (params would otherwise
+            # be pulled twice through the relay); encode+write overlap the
+            # next epoch on the checkpointer thread
+            host_params = jax.device_get(params)
+            ckpt.save(save_path, host_params,
+                      meta={"epoch": epoch, "split": split_idx})
+            if save_state:
+                ckpt.save(
+                    state_path,
+                    {"params": host_params,
+                     "opt_state": jax.device_get(opt_state)},
+                    meta={"epoch": epoch, "split": split_idx,
+                          "per_split": per_split, "fs": fs, "ks": ks,
+                          "ss": ss})
 
         split_best = {"fscore": max(fs), "kendall_tau": max(ks) if ks else float("nan"),
                       "spearman_rho": max(ss) if ss else float("nan")}
@@ -276,6 +309,7 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             avg_k.update(split_best["kendall_tau"], 1)
             avg_s.update(split_best["spearman_rho"], 1)
 
+    ckpt.flush()
     result = FinetuneResult(avg_f.avg(),
                             avg_k.avg() if avg_k.num else float("nan"),
                             avg_s.avg() if avg_s.num else float("nan"),

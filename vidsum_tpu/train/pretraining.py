@@ -20,7 +20,7 @@ from vidsum_tpu.config import Config
 from vidsum_tpu.data.collate import make_batches, pad_batch_pretrain
 from vidsum_tpu.models.pretrain import init_pretrain_model
 from vidsum_tpu.models.simnet import count_params
-from vidsum_tpu.train.checkpoint import save_checkpoint
+from vidsum_tpu.train.checkpoint import AsyncCheckpointer
 from vidsum_tpu.train.schedule import reference_pretrain_schedule
 from vidsum_tpu.train.steps import make_optimizer, make_pretrain_step
 from vidsum_tpu.utils.meters import AverageMeter
@@ -69,6 +69,7 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
     logger.info("number of model parameters: %d", count_params(params))
 
     ckpt_path = os.path.join(workdir, cfg.train.pretrain_ckpt)
+    ckpt = AsyncCheckpointer()
     history = []
     for epoch in range(pcfg.epochs):
         epoch_loss = AverageMeter()
@@ -98,6 +99,9 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
                 epoch_loss.update(float(total), 1)
             history.append(epoch_loss.avg())
             logger.info("Total Loss %f", epoch_loss.avg())
-        # weight-only encoder checkpoint for the finetune warm start
-        save_checkpoint(ckpt_path, params["encoder"], meta={"epoch": epoch})
+        # weight-only encoder checkpoint for the finetune warm start;
+        # fetch on this thread (the sync point), write on the ckpt thread
+        ckpt.save(ckpt_path, jax.device_get(params["encoder"]),
+                  meta={"epoch": epoch})
+    ckpt.flush()
     return {"params": params, "history": history}
