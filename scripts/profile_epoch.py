@@ -94,9 +94,9 @@ def main() -> None:
         losses = np.asarray(jnp.stack(step_losses))
         t2 = time.perf_counter()
         # start checkpoint host copies under the val pass (as the driver)
-        from vidsum_tpu.train.finetune import _start_host_copy
-        _start_host_copy(params)
-        _start_host_copy(opt_state)
+        from vidsum_tpu.train.checkpoint import start_host_copy
+        start_host_copy(params)
+        start_host_copy(opt_state)
         # --- val forward
         from collections import defaultdict
 

@@ -34,7 +34,7 @@ from vidsum_tpu.data.datasets import TSDataset
 from vidsum_tpu.models.simnet import count_params, init_simnet
 from vidsum_tpu.ops.metrics import eval_metrics
 from vidsum_tpu.train.checkpoint import (
-    AsyncCheckpointer, load_checkpoint,
+    AsyncCheckpointer, load_checkpoint, start_host_copy,
 )
 from vidsum_tpu.train.steps import (
     make_eval_forward, make_finetune_step, make_optimizer,
@@ -50,20 +50,6 @@ class FinetuneResult:
     kendall_tau: float
     spearman_rho: float
     per_split: List[Dict[str, float]]
-
-
-def _start_host_copy(tree) -> None:
-    """Kick off async device→host copies for every array in ``tree`` so a
-    later ``jax.device_get`` finds the data already on host. Best-effort:
-    backends without ``copy_to_host_async`` just fall through to the
-    synchronous fetch."""
-    for leaf in jax.tree_util.tree_leaves(tree):
-        fn = getattr(leaf, "copy_to_host_async", None)
-        if fn is not None:
-            try:
-                fn()
-            except Exception:
-                return
 
 
 def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
@@ -272,9 +258,9 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
                           == 0 or epoch == cfg.train.max_epoch - 1)
             # start the device→host checkpoint copies before the val pass so
             # the ~15 MB/s relay transfer overlaps the val dispatches
-            _start_host_copy(params)
+            start_host_copy(params)
             if save_state:
-                _start_host_copy(opt_state)
+                start_host_copy(opt_state)
             val_loss, f, k, s = _val_epoch(fwd, params, val_set, cfg)
             fs.append(f)
             if not (np.isnan(k) or np.isnan(s)):

@@ -20,7 +20,7 @@ from vidsum_tpu.config import Config
 from vidsum_tpu.data.collate import make_batches, pad_batch_pretrain
 from vidsum_tpu.models.pretrain import init_pretrain_model
 from vidsum_tpu.models.simnet import count_params
-from vidsum_tpu.train.checkpoint import AsyncCheckpointer
+from vidsum_tpu.train.checkpoint import AsyncCheckpointer, start_host_copy
 from vidsum_tpu.train.schedule import reference_pretrain_schedule
 from vidsum_tpu.train.steps import make_optimizer, make_pretrain_step
 from vidsum_tpu.utils.meters import AverageMeter
@@ -94,6 +94,9 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
                 logger.info("Epoch %3d step %d: loss %.5f (main %.5f "
                             "center %.5f repel %.5f)", epoch, i + 1, total,
                             main, center, repel)
+        # start the encoder's device->host copy now: the relay transfer
+        # streams while the loss fetch below waits for the epoch's steps
+        start_host_copy(params["encoder"])
         if step_records:
             for total in np.asarray(jnp.stack(step_records))[:, 0]:
                 epoch_loss.update(float(total), 1)
