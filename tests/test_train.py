@@ -223,6 +223,28 @@ def test_finetune_resume(data_root, tmp_path):
     assert epochs == [0, 1, 2, 3]
 
 
+def test_state_save_every_gating(data_root, tmp_path):
+    """state_save_every=3: the full resume state lands on gate epochs and
+    always on the split's last epoch; resuming from it works."""
+    splits = [{"train_keys": [f"x/video_{i}" for i in range(4)],
+               "test_keys": ["x/video_4"]}]
+    cfg = tiny_config(data_root, max_epoch=5)
+    cfg = Config(model=cfg.model, data=cfg.data, eval=cfg.eval,
+                 train=dataclasses.replace(cfg.train, state_save_every=3))
+    finetune(cfg, splits, workdir=str(tmp_path), export_summary=False)
+    with open(tmp_path / "train_state.ckpt.meta.json") as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 4  # final epoch always saved
+    with open(tmp_path / "model_mae.ckpt.meta.json") as f:
+        model_meta = json.load(f)
+    assert model_meta["epoch"] == 4  # weight-only ckpt still every epoch
+    cfg7 = Config(model=cfg.model, data=cfg.data, eval=cfg.eval,
+                  train=dataclasses.replace(cfg.train, max_epoch=7))
+    result = finetune(cfg7, splits, workdir=str(tmp_path),
+                      export_summary=False, resume=True)
+    assert np.isfinite(result.fscore)
+
+
 def test_finetune_augmented_mix(tmp_path):
     """Augmented/transfer config: '+'-joined datasets train together, split
     keys restrict only the experiment dataset (BASELINE config 3)."""

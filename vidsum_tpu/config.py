@@ -85,7 +85,7 @@ class EvalConfig:
     eval_method: str = "avg"         # hardcoded even for SumMe
                                      # (compute_metrics.py:43)
     # 'host' = bit-parity NumPy/C++ pipeline (the oracle, default);
-    # 'device' = one jitted XLA program per video (ops/device_eval.py —
+    # 'device' = one vmapped XLA program per val set (ops/device_eval.py —
     # see its parity contract; selected shots match the host path on every
     # tested fixture but the DP compares f32 not float64 sums).
     impl: str = "host"
