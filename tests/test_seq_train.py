@@ -1,0 +1,149 @@
+"""Sequence-parallel TRAINING (ring attention + hash-mask dropout) vs a
+dense single-device replay applying the identical masks, on the
+8-virtual-device CPU mesh.
+
+The seq-sharded step's dropout is coordinate-absolute (global batch/row/
+query/key indices hash to each mask bit), so its loss/gradients must be
+invariant to the mesh shape and bit-comparable to a dense step that injects
+the same masks via ``simnet_apply(dropout_masks=...)``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from vidsum_tpu.config import ModelConfig
+from vidsum_tpu.models.simnet import init_simnet, simnet_apply
+from vidsum_tpu.ops.block_train import S_MLP, S_RES1, S_RES2
+from vidsum_tpu.ops.losses import mse_with_mask_loss
+from vidsum_tpu.parallel.ring_attention import ring_hash_keep
+from vidsum_tpu.parallel.seq_forward import (
+    hash_keep3d, make_seq_sharded_finetune_step,
+)
+from vidsum_tpu.train.steps import make_optimizer
+
+CFG = ModelConfig(d_model=32, num_heads=4, num_layers=2, dropout=0.3,
+                  max_len=128)
+B, N = 4, 64
+
+
+def fresh(tree):
+    """Deep-copy device buffers: the step donates params/opt_state."""
+    return jax.tree_util.tree_map(jnp.array, tree)
+
+
+def make_mesh(data, seq):
+    devices = np.asarray(jax.devices()[: data * seq]).reshape(data, seq)
+    return Mesh(devices, ("data", "seq"))
+
+
+def make_batch(seed=0, pad_from=56):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, N, 1024)), jnp.float32)
+    t = jnp.asarray(rng.random((B, N)), jnp.float32)
+    mask = jnp.asarray((np.arange(N)[None, :] >= pad_from)
+                       * np.ones((B, 1), bool))
+    return x, t, mask
+
+
+def dense_masks(rng_key, cfg=CFG, b=B, n=N):
+    """The same per-layer masks the seq step derives, built densely."""
+    seeds = jax.random.randint(rng_key, (cfg.num_layers,), 0, 2 ** 31 - 1,
+                               jnp.int32)
+    hid = cfg.d_model * cfg.mlp_scale
+    return [{
+        "attn": ring_hash_keep(seeds[li], 0, 0, 0,
+                               (b, cfg.num_heads, n, n), cfg.dropout),
+        "res1": hash_keep3d(seeds[li], S_RES1, 0, 0, (b, n, cfg.d_model),
+                            cfg.dropout),
+        "mlp": hash_keep3d(seeds[li], S_MLP, 0, 0, (b, n, hid), cfg.dropout),
+        "res2": hash_keep3d(seeds[li], S_RES2, 0, 0, (b, n, cfg.d_model),
+                            cfg.dropout),
+    } for li in range(cfg.num_layers)]
+
+
+def dense_step(params, opt_state, x, t, mask, rng_key, optimizer):
+    masks = dense_masks(rng_key)
+
+    def loss_fn(p):
+        scores, _ = simnet_apply(p, CFG, x, mask, deterministic=False,
+                                 dropout_masks=masks)
+        return mse_with_mask_loss(scores, t, mask)
+
+    import optax
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+
+@pytest.mark.parametrize("data,seq", [(2, 2), (1, 4), (2, 4)])
+def test_seq_train_matches_dense_replay(data, seq):
+    """Loss AND updated params of the seq-sharded step equal a dense
+    single-device step applying the identical hash masks."""
+    optimizer = make_optimizer(1e-3, 1e-4)
+    params = init_simnet(jax.random.PRNGKey(0), CFG)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(7)
+    x, t, mask = make_batch()
+
+    step = make_seq_sharded_finetune_step(CFG, optimizer, make_mesh(data, seq))
+    p_seq, _, loss_seq = step(fresh(params), fresh(opt_state), x, t, mask, key)
+
+    p_ref, _, loss_ref = dense_step(fresh(params),
+                                    optimizer.init(fresh(params)), x, t,
+                                    mask, key, optimizer)
+    np.testing.assert_allclose(float(loss_seq), float(loss_ref),
+                               rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_seq),
+                    jax.tree_util.tree_leaves(p_ref)):
+        # f32 reassociation (ring online softmax vs dense softmax) passes
+        # through Adam's rsqrt normalizer; observed worst case ~9e-4 rel on
+        # isolated elements with near-zero grads
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-6)
+
+
+def test_seq_train_mesh_shape_invariant():
+    """The realized loss is identical across mesh shapes (coordinate-
+    absolute masks): (1,4) vs (4,1) vs (2,2)."""
+    optimizer = make_optimizer(1e-3, 1e-4)
+    params = init_simnet(jax.random.PRNGKey(1), CFG)
+    key = jax.random.PRNGKey(11)
+    x, t, mask = make_batch(seed=3)
+    losses = []
+    for data, seq in [(1, 4), (4, 1), (2, 2)]:
+        step = make_seq_sharded_finetune_step(CFG, optimizer,
+                                              make_mesh(data, seq))
+        _, _, loss = step(fresh(params), optimizer.init(fresh(params)), x, t,
+                          mask, key)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=2e-5)
+    np.testing.assert_allclose(losses[2], losses[0], rtol=2e-5)
+
+
+def test_seq_train_optimizes():
+    """Multi-step seq-parallel training reduces the loss."""
+    optimizer = make_optimizer(1e-2, 0.0)
+    params = init_simnet(jax.random.PRNGKey(2), CFG)
+    opt_state = optimizer.init(params)
+    step = make_seq_sharded_finetune_step(CFG, optimizer, make_mesh(2, 2))
+    x, t, mask = make_batch(seed=5)
+    key = jax.random.PRNGKey(3)
+    first = last = None
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, x, t, mask, sub)
+        loss = float(loss)
+        first = loss if first is None else first
+        last = loss
+    assert last < first * 0.8, (first, last)
+
+
+def test_ring_dropout_keep_rate():
+    """Realized attention keep-rate ~ 1-rate over global coordinates."""
+    keep = np.asarray(ring_hash_keep(jnp.int32(1234), 0, 0, 0,
+                                     (4, 4, 64, 64), 0.3))
+    rate = 1.0 - keep.mean()
+    assert abs(rate - 0.3) < 0.01, rate

@@ -82,6 +82,102 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(q.dtype)
 
 
+def ring_hash_keep(seed, b0, q0, k0, shape, rate: float):
+    """Boolean keep mask for attention-weight dropout over GLOBAL
+    coordinates: ``shape`` is (B, H, Nq, Nk) with batch offset ``b0``, query
+    offset ``q0`` and key offset ``k0``. Same counter-based mixing family as
+    the fused kernels' in-kernel masks (``ops/block_train._hash_keep``, site
+    = head index) — the mask for a (b, h, query, key) pair depends only on
+    its global coordinates and the seed, so it is identical on every ring
+    shard and invariant to the mesh shape."""
+    ib = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    ih = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    ir = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    ic = jax.lax.broadcasted_iota(jnp.uint32, shape, 3)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    base = (seed * jnp.uint32(0x9E3779B1)
+            + (ih * jnp.uint32(131071) + jnp.uint32(17)) * jnp.uint32(0x85EBCA77)
+            + (jnp.uint32(b0) + ib + jnp.uint32(1)) * jnp.uint32(0x27220A95))
+    x = (base ^ ((jnp.uint32(q0) + ir) * jnp.uint32(0xC2B2AE3D))
+         ^ ((jnp.uint32(k0) + ic) * jnp.uint32(0x27D4EB2F)))
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
+    return x >= jnp.uint32(threshold)
+
+
+def ring_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         pad_mask: Optional[jnp.ndarray], scale: float,
+                         axis_name: str, seed, rate: float,
+                         b0=0) -> jnp.ndarray:
+    """Trainable exact ring attention: forward like :func:`ring_attention`
+    plus attention-weight dropout, memory-safe under autodiff.
+
+    - **Dropout on softmax weights** (reference ``simnet.py:162``): the keep
+      mask comes from :func:`ring_hash_keep` over global (b, h, query, key)
+      coordinates. The unnormalized probabilities ``p`` are masked for the
+      output accumulation while the denominator ``l`` accumulates unmasked
+      ``p`` — elementwise this equals ``dropout(softmax(s)) @ v`` exactly.
+    - **Backward**: each ring step is wrapped in ``jax.checkpoint`` so
+      reverse-mode recomputes the (B, H, Nl, Nl) score block per step
+      instead of storing all of them — activation memory stays O(N/P · D)
+      per device, the whole point of the ring. The mask regenerates
+      identically from the same coordinates (no mask tensor is ever stored).
+    - ``b0``: global batch offset of this shard (nonzero under data
+      parallelism) so masks stay coordinate-absolute.
+    """
+    n_shards = jax.lax.axis_size(axis_name)
+    B, H, Nl, Dh = q.shape
+    if pad_mask is None:
+        pad_mask = jnp.zeros((B, Nl), bool)
+
+    s_idx = jax.lax.axis_index(axis_name)
+    q0 = s_idx * Nl
+    q32 = q.astype(jnp.float32) * scale
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def step(carry, t):
+        o, m, l, kb, vb, mb = carry
+        s = jnp.einsum("bhnd,bhmd->bhnm", q32, kb.astype(jnp.float32))
+        s = jnp.where(mb[:, None, None, :], neg_inf, s)
+
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        dead = jnp.isneginf(m_new)
+        p = jnp.where(dead[..., None], 0.0,
+                      jnp.exp(s - jnp.where(dead, 0.0, m_new)[..., None]))
+        corr = jnp.where(jnp.isneginf(m), 0.0,
+                         jnp.exp(m - jnp.where(dead, 0.0, m_new)))
+        l_new = l * corr + p.sum(axis=-1)
+        # kb originated on shard (s_idx - t) mod P → its global key offset
+        k0 = ((s_idx - t) % n_shards) * Nl
+        if rate > 0.0:
+            keep = ring_hash_keep(seed, b0, q0, k0, p.shape, rate)
+            p_use = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        else:
+            p_use = p
+        o = o * corr[..., None] + jnp.einsum(
+            "bhnm,bhmd->bhnd", p_use, vb.astype(jnp.float32))
+
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        mb = jax.lax.ppermute(mb, axis_name, perm)
+        return (o, m_new, l_new, kb, vb, mb), None
+
+    o0 = q32 * 0.0
+    m0 = o0[..., 0] + neg_inf
+    l0 = o0[..., 0]
+    (o, _, l, _, _, _), _ = jax.lax.scan(
+        jax.checkpoint(step), (o0, m0, l0, k, v, pad_mask),
+        jnp.arange(n_shards))
+
+    out = jnp.where(l[..., None] == 0.0, 0.0, o / l[..., None])
+    return out.astype(q.dtype)
+
+
 def make_ring_forward(mesh: Mesh, scale: float, seq_axis: str = "seq"):
     """A jitted sequence-sharded attention forward for a (data, seq) mesh:
     q/k/v (B, H, N, Dh) and pad_mask (B, N) arrive whole; batch shards over

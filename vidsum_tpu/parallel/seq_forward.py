@@ -15,11 +15,38 @@ from __future__ import annotations
 
 import functools
 import jax
+import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vidsum_tpu.config import ModelConfig
 from vidsum_tpu.models.simnet import simnet_apply
-from vidsum_tpu.parallel.ring_attention import ring_attention
+from vidsum_tpu.parallel.ring_attention import (
+    ring_attention, ring_attention_train,
+)
+
+
+def hash_keep3d(seed, site: int, b0, row0, shape, rate: float):
+    """Keep mask for a position-local dropout site over GLOBAL coordinates:
+    ``shape`` = (B, N, C) with global batch offset ``b0`` and global row
+    offset ``row0``. Per fixed batch index this is bit-identical to the
+    fused kernels' ``ops/block_train._hash_keep`` — same mixing, same site
+    constants — so masks agree across shardings and with a dense replay."""
+    ib = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(row0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    base = (seed * jnp.uint32(0x9E3779B1)
+            + jnp.uint32(site * 131071 + 17) * jnp.uint32(0x85EBCA77)
+            + (jnp.uint32(b0) + ib + jnp.uint32(1)) * jnp.uint32(0x27220A95))
+    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
+    return x >= jnp.uint32(threshold)
 
 
 def make_seq_sharded_forward(cfg: ModelConfig, mesh: Mesh,
@@ -58,3 +85,98 @@ def make_seq_sharded_forward(cfg: ModelConfig, mesh: Mesh,
 
 
     return fwd
+
+
+def make_seq_sharded_finetune_step(cfg: ModelConfig,
+                                   optimizer: optax.GradientTransformation,
+                                   mesh: Mesh,
+                                   seq_axis: str = "seq",
+                                   data_axis: str = "data"):
+    """Sequence-parallel TRAINING: jitted ``step(params, opt_state, x,
+    target, pad_mask, rng) -> (params, opt_state, loss)`` with the batch
+    over ``data`` and the sequence over ``seq`` — masked-MSE finetuning of
+    videos whose length exceeds single-device memory.
+
+    Design (greenfield, no reference analogue — the reference trains dense
+    single-GPU attention, ``src/model/simnet.py:148-163``):
+
+    - attention is :func:`ring_attention_train` (exact online-softmax ring
+      with per-step ``jax.checkpoint``: activation memory O(N/P·D));
+    - ALL dropout sites draw coordinate-absolute hash masks (attention
+      weights inside the ring; res1/mlp/res2 via ``dropout_masks`` +
+      :func:`hash_keep3d`), so the realized masks — and therefore the loss
+      and gradients — are invariant to the mesh shape and bit-comparable to
+      a dense single-device replay applying the same masks
+      (tests/test_seq_train.py);
+    - params and optimizer state stay replicated; gradients ``pmean`` over
+      BOTH mesh axes (cross-shard terms arrive through the VJP of the
+      ring's ``ppermute``), which equals the gradient of the global
+      batch-mean loss because all shards are equal-sized.
+    """
+    if cfg.use_cls:
+        raise ValueError("sequence-parallel training does not support CLS "
+                         "tokens")
+    if cfg.pos_dropout:
+        raise ValueError("pos_dropout > 0 is not wired for the seq-sharded "
+                         "step (0.0 in every reference recipe)")
+    from vidsum_tpu.ops.block_train import S_MLP, S_RES1, S_RES2
+    from vidsum_tpu.ops.losses import mse_with_mask_loss
+
+    n_seq = mesh.shape[seq_axis]
+    L = cfg.num_layers
+    hid = cfg.d_model * cfg.mlp_scale
+
+    def local_step(params, opt_state, x, target, pad_mask, rng):
+        Bl, Nl, _ = x.shape
+        row0 = jax.lax.axis_index(seq_axis) * Nl
+        b0 = jax.lax.axis_index(data_axis) * Bl
+        # per-layer seeds from the UNfolded rng: identical on every shard,
+        # so ring partners agree on every mask bit
+        seeds = jax.random.randint(rng, (L,), 0, 2 ** 31 - 1, jnp.int32)
+
+        def loss_fn(params):
+            calls = [0]  # simnet's layer loop is a Python loop → one
+                         # attn_fn call per layer at trace time
+
+            def attn_fn(q, k, v, pm):
+                li = calls[0] % L
+                calls[0] += 1
+                return ring_attention_train(q, k, v, pm, cfg.attn_scale,
+                                            seq_axis, seeds[li],
+                                            cfg.dropout, b0=b0)
+
+            masks = [{
+                "attn": None,  # handled inside the ring
+                "res1": hash_keep3d(seeds[li], S_RES1, b0, row0,
+                                    (Bl, Nl, cfg.d_model), cfg.dropout),
+                "mlp": hash_keep3d(seeds[li], S_MLP, b0, row0,
+                                   (Bl, Nl, hid), cfg.dropout),
+                "res2": hash_keep3d(seeds[li], S_RES2, b0, row0,
+                                    (Bl, Nl, cfg.d_model), cfg.dropout),
+            } for li in range(L)]
+            scores, _ = simnet_apply(params, cfg, x, pad_mask,
+                                     deterministic=False, attn_fn=attn_fn,
+                                     pos_offset=row0, pe_len=n_seq * Nl,
+                                     dropout_masks=masks)
+            return mse_with_mask_loss(scores, target, pad_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, (data_axis, seq_axis)), grads)
+        loss = jax.lax.pmean(loss, (data_axis, seq_axis))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, x, target, pad_mask, rng):
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(data_axis, seq_axis, None),
+                      P(data_axis, seq_axis), P(data_axis, seq_axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,  # optimizer updates are replicated-safe
+        )(params, opt_state, x, target, pad_mask, rng)
+
+    return step
