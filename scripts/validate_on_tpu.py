@@ -281,6 +281,33 @@ def main() -> None:
         check("googlenet pool5 golden on chip", gdiff < 5e-3,
               f"max diff {gdiff:.2e}")
 
+    # sequence-parallel TRAIN step on the real chip (ring of 1 on a single
+    # device: the jax.checkpoint + scan + ppermute + hash-dropout machinery
+    # must compile and execute on the TPU runtime; the loss must match a
+    # dense step injecting the same hash masks, as in tests/test_seq_train)
+    from jax.sharding import Mesh
+    from vidsum_tpu.config import ModelConfig as _MC
+    from vidsum_tpu.models.simnet import init_simnet as _init
+    from vidsum_tpu.parallel.seq_forward import make_seq_sharded_finetune_step
+    from vidsum_tpu.train.steps import make_optimizer as _mo
+
+    cfg_s = _MC(d_model=64, num_heads=4, num_layers=2, dropout=0.3,
+                max_len=128)
+    mesh_s = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                  ("data", "seq"))
+    opt_s = _mo(1e-3, 1e-4)
+    ps = _init(jax.random.PRNGKey(0), cfg_s)
+    rng_s = np.random.default_rng(7)
+    xs = jnp.asarray(rng_s.normal(size=(2, 64, 1024)), jnp.float32)
+    ts = jnp.asarray(rng_s.random((2, 64)), jnp.float32)
+    ms = jnp.zeros((2, 64), bool)
+    step_s = make_seq_sharded_finetune_step(cfg_s, opt_s, mesh_s)
+    _, _, loss_s = step_s(ps, opt_s.init(_init(jax.random.PRNGKey(0), cfg_s)),
+                          xs, ts, ms, jax.random.PRNGKey(1))
+    loss_s = float(loss_s)
+    check("seq-parallel train step runs on chip", np.isfinite(loss_s),
+          f"loss {loss_s:.5f}")
+
     print("ALL ON-CHIP VALIDATIONS PASSED")
 
 

@@ -141,6 +141,31 @@ def test_seq_train_optimizes():
     assert last < first * 0.8, (first, last)
 
 
+def test_hash_mask_goldens():
+    """Pin the hash functions' exact bits: these masks are part of replay
+    determinism (a resumed run must regenerate identical dropout), so any
+    change to the mixing constants must be deliberate and show up here."""
+    k1 = np.asarray(ring_hash_keep(jnp.int32(1234), 3, 5, 7, (2, 2, 4, 4),
+                                   0.3))
+    assert np.packbits(k1.reshape(-1)).tolist() == [
+        133, 241, 218, 246, 251, 242, 176, 111]
+    k2 = np.asarray(hash_keep3d(jnp.int32(99), 33, 1, 2, (2, 3, 4), 0.5))
+    assert np.packbits(k2.reshape(-1)).tolist() == [144, 240, 38]
+
+
+def test_hash_keep3d_matches_fused_kernel_hash():
+    """Per fixed batch index, hash_keep3d is bit-identical to the fused
+    kernels' _hash_keep (same mixing, so dense replays of fused-kernel runs
+    can share mask code)."""
+    from vidsum_tpu.ops.block_train import _hash_keep
+
+    seed = jnp.int32(4242)
+    full = np.asarray(hash_keep3d(seed, S_RES1, 2, 8, (3, 16, 32), 0.3))
+    for b in range(3):
+        ref = np.asarray(_hash_keep(seed, S_RES1, 2 + b, 8, (16, 32), 0.3))
+        np.testing.assert_array_equal(full[b], ref)
+
+
 def test_ring_dropout_keep_rate():
     """Realized attention keep-rate ~ 1-rate over global coordinates."""
     keep = np.asarray(ring_hash_keep(jnp.int32(1234), 0, 0, 0,
