@@ -29,6 +29,7 @@ def main() -> None:
     p.add_argument("--videos", type=int, default=50)
     p.add_argument("--folds", type=int, default=5)
     p.add_argument("--state_save_every", type=int, default=1)
+    p.add_argument("--model_save_every", type=int, default=1)
     p.add_argument("--out", default=None)
     args = p.parse_args()
     logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
@@ -57,7 +58,8 @@ def main() -> None:
                           dropout=0.3, compute_dtype="bfloat16"),
         data=DataConfig(root=root, ex_dataset="tvsum", datasets="tvsum"),
         train=TrainConfig(batch_size=4, max_epoch=args.epochs,
-                          state_save_every=args.state_save_every),
+                          state_save_every=args.state_save_every,
+                          model_save_every=args.model_save_every),
     )
 
     workdir = tempfile.mkdtemp(prefix="soak_work_")
@@ -73,6 +75,7 @@ def main() -> None:
         "spearman_rho": result.spearman_rho,
         "per_split": result.per_split,
         "state_save_every": args.state_save_every,
+        "model_save_every": args.model_save_every,
     }
     print(json.dumps(out))
     if args.out:

@@ -230,7 +230,8 @@ def test_state_save_every_gating(data_root, tmp_path):
                "test_keys": ["x/video_4"]}]
     cfg = tiny_config(data_root, max_epoch=5)
     cfg = Config(model=cfg.model, data=cfg.data, eval=cfg.eval,
-                 train=dataclasses.replace(cfg.train, state_save_every=3))
+                 train=dataclasses.replace(cfg.train, state_save_every=3,
+                                           model_save_every=2))
     finetune(cfg, splits, workdir=str(tmp_path), export_summary=False)
     with open(tmp_path / "train_state.ckpt.meta.json") as f:
         meta = json.load(f)

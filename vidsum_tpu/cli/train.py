@@ -72,10 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "bit-parity NumPy/C++ (default), 'device' = one "
                         "vmapped XLA program for the whole val set")
     p.add_argument("--state_save_every", type=int, default=1,
-                   help="save the full resume state every K epochs (the "
-                        "weight-only model checkpoint still saves every "
-                        "epoch like the reference); the last epoch of a "
-                        "split always saves")
+                   help="save the full resume state every K epochs; the "
+                        "last epoch of a split always saves")
+    p.add_argument("--model_save_every", type=int, default=1,
+                   help="save the weight-only model checkpoint every K "
+                        "epochs (reference saves every epoch, train.py:95); "
+                        "the last epoch of a split always saves")
     return p
 
 
@@ -93,6 +95,8 @@ def config_from_args(args) -> Config:
                           max_epoch=args.max_epoch,
                           use_pretrained=args.use_model,
                           state_save_every=getattr(args, "state_save_every",
+                                                   1),
+                          model_save_every=getattr(args, "model_save_every",
                                                    1)),
     )
 

@@ -127,6 +127,12 @@ class TrainConfig:
     # (exact-replay RNG streams make a coarser resume bit-identical, just
     # recomputed). 1 = reference-faithful always-resumable default.
     state_save_every: int = 1
+    # Same cadence knob for the weight-only model checkpoint (the
+    # reference's every-epoch model_mae.pth, train.py:95 — 13.7 MB of
+    # params over the ~15 MB/s relay per save). The protocol's metrics
+    # never read intermediate files; the last epoch always saves.
+    # 1 = reference-faithful default.
+    model_save_every: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -254,11 +254,15 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
                 params, opt_state, train_loss, _ = _train_epoch(
                     step_fn, params, opt_state, train_set, cfg, rng_np,
                     rng_epoch, pad_to_batch=mesh is not None)
+            last_epoch = epoch == cfg.train.max_epoch - 1
             save_state = ((epoch + 1) % max(cfg.train.state_save_every, 1)
-                          == 0 or epoch == cfg.train.max_epoch - 1)
+                          == 0 or last_epoch)
+            save_model = ((epoch + 1) % max(cfg.train.model_save_every, 1)
+                          == 0 or last_epoch)
             # start the device→host checkpoint copies before the val pass so
             # the ~15 MB/s relay transfer overlaps the val dispatches
-            start_host_copy(params)
+            if save_model or save_state:
+                start_host_copy(params)
             if save_state:
                 start_host_copy(opt_state)
             val_loss, f, k, s = _val_epoch(fwd, params, val_set, cfg)
@@ -275,9 +279,11 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             # one device→host fetch for both files (params would otherwise
             # be pulled twice through the relay); encode+write overlap the
             # next epoch on the checkpointer thread
-            host_params = jax.device_get(params)
-            ckpt.save(save_path, host_params,
-                      meta={"epoch": epoch, "split": split_idx})
+            host_params = (jax.device_get(params)
+                           if save_model or save_state else None)
+            if save_model:
+                ckpt.save(save_path, host_params,
+                          meta={"epoch": epoch, "split": split_idx})
             if save_state:
                 ckpt.save(
                     state_path,
