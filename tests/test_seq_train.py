@@ -166,6 +166,33 @@ def test_hash_keep3d_matches_fused_kernel_hash():
         np.testing.assert_array_equal(full[b], ref)
 
 
+def test_seq_train_beyond_pe_table():
+    """Training at N=2560 > max_len 2000 over 8 seq shards: the PE table
+    must size to the GLOBAL length (the round-2 seq-forward bug class) and
+    the step must optimize. Dense replay at this size is ~B*H*N^2 f32 —
+    checked against the dense step at dropout 0 instead."""
+    cfg = ModelConfig(d_model=32, num_heads=2, num_layers=1, dropout=0.0,
+                      max_len=2000)
+    optimizer = make_optimizer(1e-3, 0.0)
+    params = init_simnet(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(9)
+    b, n = 1, 2560
+    x = jnp.asarray(rng.normal(size=(b, n, 1024)), jnp.float32)
+    t = jnp.asarray(rng.random((b, n)), jnp.float32)
+    mask = jnp.asarray((np.arange(n)[None, :] >= 2400) * np.ones((b, 1), bool))
+
+    step = make_seq_sharded_finetune_step(cfg, optimizer, make_mesh(1, 8))
+    _, _, loss_seq = step(fresh(params), optimizer.init(fresh(params)),
+                          x, t, mask, jax.random.PRNGKey(5))
+
+    def dense_loss(p):
+        scores, _ = simnet_apply(p, cfg, x, mask, deterministic=True)
+        return mse_with_mask_loss(scores, t, mask)
+
+    loss_ref = float(dense_loss(params))
+    np.testing.assert_allclose(float(loss_seq), loss_ref, rtol=2e-4)
+
+
 def test_ring_dropout_keep_rate():
     """Realized attention keep-rate ~ 1-rate over global coordinates."""
     keep = np.asarray(ring_hash_keep(jnp.int32(1234), 0, 0, 0,
