@@ -141,6 +141,24 @@ def test_seq_train_optimizes():
     assert last < first * 0.8, (first, last)
 
 
+def test_fully_padded_row_finite_grads():
+    """A batch row that is ALL padding (e.g. batch padded for data-axis
+    divisibility) must not poison gradients: the forward's where() guard
+    alone leaves a 0/0 in the VJP of o/l. Regression for the safe-
+    denominator fix in ring_attention_train."""
+    optimizer = make_optimizer(1e-3, 0.0)
+    params = init_simnet(jax.random.PRNGKey(0), CFG)
+    x, t, _ = make_batch(seed=8)
+    mask = np.zeros((B, N), bool)
+    mask[1, :] = True  # row 1 entirely padded
+    step = make_seq_sharded_finetune_step(CFG, optimizer, make_mesh(1, 2))
+    p2, _, loss = step(fresh(params), optimizer.init(fresh(params)), x, t,
+                       jnp.asarray(mask), jax.random.PRNGKey(9))
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(p2):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_hash_mask_goldens():
     """Pin the hash functions' exact bits: these masks are part of replay
     determinism (a resumed run must regenerate identical dropout), so any

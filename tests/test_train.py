@@ -238,7 +238,7 @@ def test_state_save_every_gating(data_root, tmp_path):
     assert meta["epoch"] == 4  # final epoch always saved
     with open(tmp_path / "model_mae.ckpt.meta.json") as f:
         model_meta = json.load(f)
-    assert model_meta["epoch"] == 4  # weight-only ckpt still every epoch
+    assert model_meta["epoch"] == 4  # final epoch always saves (cadence 2)
     cfg7 = Config(model=cfg.model, data=cfg.data, eval=cfg.eval,
                   train=dataclasses.replace(cfg.train, max_epoch=7))
     result = finetune(cfg7, splits, workdir=str(tmp_path),

@@ -120,7 +120,7 @@ class TrainConfig:
     attn_impl: str = "auto"
     # Save the full resume state (params + Adam moments) every K epochs
     # (plus, always, each split's last epoch). The weight-only model
-    # checkpoint still saves every epoch like the reference (train.py:95).
+    # checkpoint has its own cadence knob below (model_save_every).
     # At flagship size the state is ~41 MB and the axon relay moves
     # ~15 MB/s, so the default per-epoch state save costs ~2.7 s/epoch of
     # device->host fetch; raising K trades resume granularity for that

@@ -174,7 +174,11 @@ def ring_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         jax.checkpoint(step), (o0, m0, l0, k, v, pad_mask),
         jnp.arange(n_shards))
 
-    out = jnp.where(l[..., None] == 0.0, 0.0, o / l[..., None])
+    # Safe denominator: `where(l==0, 0, o/l)` alone still divides by zero
+    # inside the VJP (0/0 → NaN grads for fully-padded rows, which pmean
+    # would spread into every parameter).
+    l_safe = jnp.where(l == 0.0, 1.0, l)[..., None]
+    out = jnp.where(l[..., None] == 0.0, 0.0, o / l_safe)
     return out.astype(q.dtype)
 
 

@@ -119,8 +119,17 @@ def make_seq_sharded_finetune_step(cfg: ModelConfig,
     if cfg.pos_dropout:
         raise ValueError("pos_dropout > 0 is not wired for the seq-sharded "
                          "step (0.0 in every reference recipe)")
-    from vidsum_tpu.ops.block_train import S_MLP, S_RES1, S_RES2
+    from vidsum_tpu.ops.block_train import (
+        MAX_HASH_HEADS, S_MLP, S_RES1, S_RES2,
+    )
     from vidsum_tpu.ops.losses import mse_with_mask_loss
+
+    if cfg.num_heads > MAX_HASH_HEADS:
+        # the ring's attention sites are the raw head indices; heads >= 32
+        # would collide with S_RES1/S_MLP/S_RES2 (same guard as the fused
+        # kernels, ops/block_train.py)
+        raise ValueError(f"num_heads {cfg.num_heads} > {MAX_HASH_HEADS} "
+                         "collides with the residual/MLP dropout sites")
 
     n_seq = mesh.shape[seq_axis]
     L = cfg.num_layers

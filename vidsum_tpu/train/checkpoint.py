@@ -77,10 +77,19 @@ class AsyncCheckpointer:
         self._pending.append(self._pool.submit(_write, path, host_tree, meta))
 
     def flush(self) -> None:
-        """Block until all queued writes hit disk; re-raise any failure."""
+        """Block until ALL queued writes finish, then re-raise the first
+        failure (awaiting everything first means a second flush() after a
+        caught error cannot return while a write is still in flight)."""
         pending, self._pending = self._pending, []
+        first_err = None
         for fut in pending:
-            fut.result()
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001 - re-raised below
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
 
 
 def load_checkpoint(path: str, like: Any) -> Tuple[Any, Optional[Dict]]:
