@@ -34,6 +34,10 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--use_model", action="store_true")
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--state_save_every", type=int, default=1,
+                   help="resume-state save cadence (bit-identical metrics "
+                        "at any value; 5 cut the synthetic protocol 30%%)")
+    p.add_argument("--model_save_every", type=int, default=1)
     p.add_argument("--out", default=None)
     args = p.parse_args()
     logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
@@ -60,7 +64,9 @@ def main() -> None:
                         datasets=datasets),
         train=TrainConfig(lr=1e-3, weight_decay=1e-4, batch_size=4,
                           max_epoch=args.epochs,
-                          use_pretrained=args.use_model),
+                          use_pretrained=args.use_model,
+                          state_save_every=args.state_save_every,
+                          model_save_every=args.model_save_every),
     )
     splits = load_splits(builtin_split_path(split_name))
     out_path = args.out or f"results_{split_name}.json"

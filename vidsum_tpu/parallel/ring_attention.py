@@ -78,7 +78,10 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     (o, _, l, _, _, _), _ = jax.lax.scan(
         step, (o0, m0, l0, k, v, pad_mask), None, length=n_shards)
 
-    out = jnp.where(l[..., None] == 0.0, 0.0, o / l[..., None])
+    # same safe denominator as the train variant: keeps grads finite if a
+    # caller differentiates through this forward
+    l_safe = jnp.where(l == 0.0, 1.0, l)[..., None]
+    out = jnp.where(l[..., None] == 0.0, 0.0, o / l_safe)
     return out.astype(q.dtype)
 
 
