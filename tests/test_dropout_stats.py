@@ -115,3 +115,43 @@ def test_row_keep_rates_unbiased():
     slope = (x @ (row_rate - row_rate.mean())) / (x @ x)
     se = sigma_row / (x @ x) ** 0.5
     assert abs(slope) < 5 * se
+
+
+# ---- ring attention mask family (parallel/ring_attention.ring_hash_keep) --
+# Same mixing constants, but 4-D (B, H, Nq, Nk) with GLOBAL query/key/batch
+# offsets; the head index is the hash site. Used by the seq-parallel train
+# step, where mask quality directly shapes training dynamics.
+
+def _ring(seed=7, b0=0, q0=0, k0=0, shape=(4, 4, 128, 128), rate=RATE):
+    from vidsum_tpu.parallel.ring_attention import ring_hash_keep
+    return np.asarray(ring_hash_keep(jnp.asarray(seed, jnp.int32), b0, q0,
+                                     k0, shape, rate))
+
+
+def test_ring_keep_rate_per_head():
+    m = _ring()
+    for h in range(m.shape[1]):
+        n = m[:, h].size
+        rate_hat = m[:, h].mean()
+        assert abs(rate_hat - KEEP) < 5 * (KEEP * RATE / n) ** 0.5, (h, rate_hat)
+
+
+def test_ring_independence_across_heads_and_offsets():
+    base = _ring()
+    # heads are distinct sites
+    for h in range(1, 4):
+        assert abs(_corr(base[:, 0], base[:, h])) < 5 * SIGMA_CORR
+    # shifting the global query/key/batch offsets must decorrelate —
+    # this is exactly what ring steps and shard indices vary
+    for kw in ({"q0": 128}, {"k0": 128}, {"b0": 4}, {"seed": 8}):
+        other = _ring(**kw)
+        assert abs(_corr(base, other)) < 5 / base.size ** 0.5, kw
+
+
+def test_ring_tile_consistency():
+    """The mask of a (q0, k0) sub-tile equals the corresponding slice of the
+    full mask — coordinate-absoluteness, the property that makes the seq
+    step's loss invariant to the mesh shape."""
+    full = _ring(shape=(2, 2, 256, 256))
+    tile = _ring(q0=128, k0=64, shape=(2, 2, 64, 128))
+    np.testing.assert_array_equal(tile, full[:, :, 128:192, 64:192])
