@@ -64,3 +64,24 @@ def test_bf16_path():
     assert np.isfinite(got[:, :, :200]).all()
     np.testing.assert_allclose(got[:, :, :200], want[:, :, :200],
                                rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("data,seq", [(1, 8), (2, 4)])
+def test_pallas_block_matches_dense(data, seq):
+    """Fused ring-step kernel (interpret mode) == dense attention."""
+    q, k, v, mask = make_inputs(3, B=2, N=256, pad_from=200)
+    fwd = make_ring_forward(make_mesh(data, seq), scale=0.125,
+                            block_impl="pallas")
+    got = np.asarray(fwd(q, k, v, mask))
+    want = np.asarray(_xla_attention(q, k, v, mask, scale=0.125))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_block_fully_padded_shard():
+    q, k, v, mask = make_inputs(4, B=2, N=256, pad_from=192)
+    fwd = make_ring_forward(make_mesh(1, 4), scale=0.1, block_impl="pallas")
+    got = np.asarray(fwd(q, k, v, mask))
+    assert np.isfinite(got).all()
+    want = np.asarray(_xla_attention(q, k, v, mask, scale=0.1))
+    np.testing.assert_allclose(got[:, :, :192], want[:, :, :192],
+                               rtol=2e-5, atol=2e-5)

@@ -27,17 +27,28 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
+
+NEG_INF = float("-inf")
 
 
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    pad_mask: Optional[jnp.ndarray], scale: float,
-                   axis_name: str) -> jnp.ndarray:
+                   axis_name: str, block_impl: str = "auto") -> jnp.ndarray:
     """Exact attention with q/k/v sharded over ``axis_name``.
 
     Shapes are per-shard: q/k/v (B, H, Nl, Dh), pad_mask (B, Nl) True=padded.
     Must run inside ``shard_map``/collective context where ``axis_name`` is
     bound. Returns the local (B, H, Nl, Dh) output block.
+
+    :param block_impl: per-ring-step compute. ``'pallas'`` folds each
+        arriving K/V block into the online-softmax carry inside one fused
+        kernel (the (Nl, Nl) score block never touches HBM — at few shards
+        and long sequences the XLA path materializes it, e.g. 105 MB at
+        Nl=2560); ``'xla'`` is the einsum path; ``'auto'`` picks pallas on
+        TPU for supported shapes.
     """
     n_shards = jax.lax.axis_size(axis_name)
     B, H, Nl, Dh = q.shape
@@ -46,6 +57,31 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q32 = q.astype(jnp.float32) * scale
     neg_inf = jnp.float32(-jnp.inf)
+
+    use_pallas = block_impl == "pallas" or (
+        block_impl == "auto" and jax.default_backend() == "tpu"
+        and _ring_block_supported(Nl, Nl, Dh, k.dtype.itemsize))
+    if use_pallas and _ring_block_supported(Nl, Nl, Dh, k.dtype.itemsize):
+        interpret = jax.default_backend() != "tpu"
+
+        def step_p(carry, _):
+            o, m, l, kb, vb, mb = carry
+            o, m, l = _ring_block_step(q32, kb, vb, mb, o, m, l,
+                                       interpret=interpret)
+            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+            mb = jax.lax.ppermute(mb, axis_name, perm)
+            return (o, m, l, kb, vb, mb), None
+
+        # derive carries from q so they share its varying-mesh-axes type
+        o0 = q32 * 0.0
+        m0 = o0.sum(-1, keepdims=True) + neg_inf                # (B,H,Nl,1)
+        l0 = o0.sum(-1, keepdims=True)
+        (o, _, l, _, _, _), _ = jax.lax.scan(
+            step_p, (o0, m0, l0, k, v, pad_mask), None, length=n_shards)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        return jnp.where(l == 0.0, 0.0, o / l_safe).astype(q.dtype)
 
     def step(carry, _):
         o, m, l, kb, vb, mb = carry
@@ -83,6 +119,99 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     l_safe = jnp.where(l == 0.0, 1.0, l)[..., None]
     out = jnp.where(l[..., None] == 0.0, 0.0, o / l_safe)
     return out.astype(q.dtype)
+
+
+TILE_Q = 128
+_DEAD = -1e37  # threshold: anything below is "no unmasked key seen yet"
+
+
+def _ring_block_kernel(q_ref, k_ref, v_ref, mask_ref, oin_ref, min_ref,
+                       lin_ref, oout_ref, mout_ref, lout_ref, *,
+                       n_q_tiles: int):
+    """One (batch, head) cell of one ring step: fold the arriving K/V block
+    into the online-softmax carry (o, m, l) without the (Nq, Nk) score
+    block ever leaving VMEM. Carries are (1, 1, N, 1) f32; q arrives
+    pre-scaled in f32."""
+    import jax.numpy as jnp  # local: kernel traced by Mosaic
+
+    k = k_ref[0, 0]                       # (Nk, Dh)
+    v = v_ref[0, 0]                       # (Nk, Dh)
+    key_mask = mask_ref[0] != 0           # (1, Nk), True = padded
+
+    def tile(i, _):
+        sl = pl.ds(i * TILE_Q, TILE_Q)
+        q = q_ref[0, 0, sl, :]                                 # (Tq, Dh)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Tq, Nk)
+        s = jnp.where(key_mask, NEG_INF, s)
+
+        m_prev = min_ref[0, 0, sl, :]                          # (Tq, 1)
+        l_prev = lin_ref[0, 0, sl, :]                          # (Tq, 1)
+        o_prev = oin_ref[0, 0, sl, :]                          # (Tq, Dh)
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        dead = m_new < _DEAD                                   # (Tq, 1)
+        m_safe = jnp.where(dead, 0.0, m_new)
+        p = jnp.where(dead, 0.0, jnp.exp(s - m_safe))          # (Tq, Nk)
+        corr = jnp.where(m_prev < _DEAD, 0.0, jnp.exp(m_prev - m_safe))
+        l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+        o_new = o_prev * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        oout_ref[0, 0, sl, :] = o_new
+        mout_ref[0, 0, sl, :] = m_new
+        lout_ref[0, 0, sl, :] = l_new
+        return 0
+
+    jax.lax.fori_loop(0, n_q_tiles, tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ring_block_step(q32, kb, vb, mb, o, m, l, interpret: bool):
+    """Pallas ring step: q32 (B,H,Nq,Dh) f32 pre-scaled; kb/vb (B,H,Nk,Dh);
+    mb (B,Nk) bool; carries o (B,H,Nq,Dh) f32, m/l (B,H,Nq,1) f32.
+    Returns updated (o, m, l)."""
+    B, H, Nq, Dh = q32.shape
+    Nk = kb.shape[2]
+
+    grid = (B, H)
+    q_spec = pl.BlockSpec((1, 1, Nq, Dh), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, Nk, Dh), lambda b, h: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, Nk), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    carry_spec = pl.BlockSpec((1, 1, Nq, 1), lambda b, h: (b, h, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_ring_block_kernel, n_q_tiles=Nq // TILE_Q)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec, q_spec, carry_spec,
+                  carry_spec],
+        out_specs=[q_spec, carry_spec, carry_spec],
+        out_shape=[jax.ShapeDtypeStruct(o.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(m.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(l.shape, jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Nq * Nk * Dh,
+            bytes_accessed=(3 * B * H * Nq * Dh + 2 * B * H * Nk * Dh) * 4,
+            transcendentals=B * H * Nq * Nk,
+        ),
+        interpret=interpret,
+    )(q32, kb, vb, mb.astype(jnp.int8)[:, None, :], o, m, l)
+
+
+def _ring_block_supported(Nq: int, Nk: int, Dh: int, itemsize: int) -> bool:
+    """Shapes the fused step kernel handles; others use the jnp step.
+    VMEM per cell: q/o_in/o_out (Nq,Dh) f32 + k/v (Nk,Dh) + score tile."""
+    vmem = (3 * Nq * Dh * 4 + 2 * Nk * Dh * itemsize
+            + TILE_Q * Nk * 4 + 4 * Nq * 4)
+    return (Nq % TILE_Q == 0 and Nk % TILE_Q == 0
+            and vmem <= 12 * 1024 * 1024)
 
 
 def ring_hash_keep(seed, b0, q0, k0, shape, rate: float):
@@ -185,10 +314,12 @@ def ring_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(q.dtype)
 
 
-def make_ring_forward(mesh: Mesh, scale: float, seq_axis: str = "seq"):
+def make_ring_forward(mesh: Mesh, scale: float, seq_axis: str = "seq",
+                      block_impl: str = "auto"):
     """A jitted sequence-sharded attention forward for a (data, seq) mesh:
     q/k/v (B, H, N, Dh) and pad_mask (B, N) arrive whole; batch shards over
-    ``data``, sequence over ``seq``."""
+    ``data``, sequence over ``seq``. ``block_impl`` as in
+    :func:`ring_attention`."""
     qkv_spec = P("data", None, seq_axis, None)
     mask_spec = P("data", seq_axis)
 
@@ -196,10 +327,12 @@ def make_ring_forward(mesh: Mesh, scale: float, seq_axis: str = "seq"):
     def fwd(q, k, v, pad_mask):
         shard = jax.shard_map(
             functools.partial(ring_attention, scale=scale,
-                              axis_name=seq_axis),
+                              axis_name=seq_axis, block_impl=block_impl),
             mesh=mesh,
             in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
-            out_specs=qkv_spec)
+            out_specs=qkv_spec,
+            check_vma=False,  # pallas_call outputs carry no vma type
+        )
         return shard(q, k, v, pad_mask)
 
     return fwd

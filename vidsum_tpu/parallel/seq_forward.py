@@ -81,6 +81,7 @@ def make_seq_sharded_forward(cfg: ModelConfig, mesh: Mesh,
                       P(data_axis, seq_axis)),
             out_specs=(P(data_axis, seq_axis, None),
                        P(data_axis, seq_axis, None)),
+            check_vma=False,  # ring's pallas step outputs carry no vma type
         )(params, x, pad_mask)
 
 
