@@ -308,6 +308,22 @@ def main() -> None:
     check("seq-parallel train step runs on chip", np.isfinite(loss_s),
           f"loss {loss_s:.5f}")
 
+    # fused ring-step kernel vs the flash kernel at stretch length
+    from vidsum_tpu.parallel.ring_attention import make_ring_forward
+
+    rng_r = np.random.default_rng(11)
+    Nr = 2560
+    qr, kr, vr = (jnp.asarray(rng_r.normal(size=(2, 4, Nr, 64)), jnp.float32)
+                  for _ in range(3))
+    mr = jnp.asarray((np.arange(Nr)[None, :] >= 2400)
+                     * np.ones((2, 1), bool))
+    ring_p = make_ring_forward(mesh_s, 0.125, block_impl="pallas")
+    out_p = np.asarray(ring_p(qr, kr, vr, mr))
+    out_f = np.asarray(flash_attention(qr, kr, vr, mr, scale=0.125))
+    rdiff = np.abs(out_p - out_f).max()
+    check("pallas ring-step kernel == flash on chip", rdiff < 5e-3,
+          f"max diff {rdiff:.2e} at N={Nr}")
+
     print("ALL ON-CHIP VALIDATIONS PASSED")
 
 
