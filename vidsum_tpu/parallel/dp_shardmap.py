@@ -14,10 +14,9 @@ checkpoints are layout-free.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
