@@ -78,6 +78,27 @@ def test_cli_summarize_smoke(video_path, tmp_path, monkeypatch):
     assert all(isinstance(i, int) for i in rec["selected_frames"])
 
 
+def test_cli_summarize_seq_sharded_device_kts(video_path, tmp_path):
+    """--seq_shards / --kts_impl device drive the long-video path from the
+    CLI; selected frames must match the default host run (ring attention is
+    exact; the device KTS matches host auto-selection on this fixture)."""
+    import json
+    from vidsum_tpu.cli.summarize import main
+    out_a = str(tmp_path / "a.json")
+    out_b = str(tmp_path / "b.json")
+    args = ["--video", video_path, "--d_model", "32", "--num_heads", "4",
+            "--num_layers", "1", "--fps", "2", "--size", "64"]
+    main(args + ["--out", out_a])
+    main(args + ["--out", out_b, "--seq_shards", "2",
+                 "--kts_impl", "device"])
+    with open(out_a) as f:
+        a = json.load(f)
+    with open(out_b) as f:
+        b = json.load(f)
+    assert a["n_frames"] == b["n_frames"] == 120
+    assert a["selected_frames"] == b["selected_frames"]
+
+
 def test_summarize_long_video_seq_sharded(monkeypatch):
     """>2,500 sampled frames through the full raw-video path with the
     sequence axis sharded over the 8-device mesh and on-device auto-KTS:

@@ -31,6 +31,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shorter-side resize for GoogLeNet input")
     p.add_argument("--budget", type=float, default=0.15)
     p.add_argument("--out", default="summary.json")
+    p.add_argument("--seq_shards", type=int, default=1,
+                   help="shard the frame sequence over this many devices "
+                        "(ring attention) — for videos beyond the dense "
+                        "O(N^2) envelope")
+    p.add_argument("--kts_impl", choices=("host", "device"), default="host",
+                   help="'host' = float64 NumPy/C++ auto-KTS (parity "
+                        "oracle), 'device' = one jitted program on the "
+                        "accelerator")
     return p
 
 
@@ -71,8 +79,17 @@ def main(argv=None) -> None:
                         "projections")
         google = init_googlenet(jax.random.PRNGKey(1))
 
+    mesh = None
+    if args.seq_shards > 1:
+        from jax.sharding import Mesh
+        if len(jax.devices()) < args.seq_shards:
+            raise SystemExit(f"--seq_shards {args.seq_shards} but only "
+                             f"{len(jax.devices())} devices visible")
+        mesh = Mesh(np.asarray(jax.devices()[: args.seq_shards])
+                    .reshape(1, args.seq_shards), ("data", "seq"))
     result = summarize_video(args.video, scorer, cfg, google, fps=args.fps,
-                             size=args.size, budget_ratio=args.budget)
+                             size=args.size, budget_ratio=args.budget,
+                             mesh=mesh, kts_impl=args.kts_impl)
     selected = np.nonzero(result.summary)[0].tolist()
     with open(args.out, "w") as f:
         json.dump({"video": args.video, "n_frames": int(result.n_frames),
