@@ -58,10 +58,11 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q32 = q.astype(jnp.float32) * scale
     neg_inf = jnp.float32(-jnp.inf)
 
-    use_pallas = block_impl == "pallas" or (
-        block_impl == "auto" and jax.default_backend() == "tpu"
-        and _ring_block_supported(Nl, Nl, Dh, k.dtype.itemsize))
-    if use_pallas and _ring_block_supported(Nl, Nl, Dh, k.dtype.itemsize):
+    supported = _ring_block_supported(Nl, Nl, Dh, k.dtype.itemsize)
+    use_pallas = supported and (
+        block_impl == "pallas"
+        or (block_impl == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
         interpret = jax.default_backend() != "tpu"
 
         def step_p(carry, _):
@@ -80,8 +81,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         l0 = o0.sum(-1, keepdims=True)
         (o, _, l, _, _, _), _ = jax.lax.scan(
             step_p, (o0, m0, l0, k, v, pad_mask), None, length=n_shards)
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        return jnp.where(l == 0.0, 0.0, o / l_safe).astype(q.dtype)
+        return _normalize(o, l, q.dtype)
 
     def step(carry, _):
         o, m, l, kb, vb, mb = carry
@@ -113,12 +113,16 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     l0 = o0[..., 0]
     (o, _, l, _, _, _), _ = jax.lax.scan(
         step, (o0, m0, l0, k, v, pad_mask), None, length=n_shards)
+    return _normalize(o, l[..., None], q.dtype)
 
-    # same safe denominator as the train variant: keeps grads finite if a
-    # caller differentiates through this forward
-    l_safe = jnp.where(l == 0.0, 1.0, l)[..., None]
-    out = jnp.where(l[..., None] == 0.0, 0.0, o / l_safe)
-    return out.astype(q.dtype)
+
+def _normalize(o, l, dtype):
+    """o / l with a safe denominator: ``where(l==0, 0, o/l)`` alone still
+    divides by zero inside the VJP (0/0 → NaN grads for fully-padded rows,
+    which pmean would spread into every parameter). ``l`` arrives with a
+    trailing singleton dim."""
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    return jnp.where(l == 0.0, 0.0, o / l_safe).astype(dtype)
 
 
 TILE_Q = 128
@@ -214,6 +218,19 @@ def _ring_block_supported(Nq: int, Nk: int, Dh: int, itemsize: int) -> bool:
             and vmem <= 12 * 1024 * 1024)
 
 
+def _fmix_keep(x, rate: float):
+    """Murmur-style finalizer + threshold shared by the hash-mask family
+    (same arithmetic as ``ops/block_train._hash_keep``; golden-pinned in
+    tests/test_seq_train.py)."""
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
+    return x >= jnp.uint32(threshold)
+
+
 def ring_hash_keep(seed, b0, q0, k0, shape, rate: float):
     """Boolean keep mask for attention-weight dropout over GLOBAL
     coordinates: ``shape`` is (B, H, Nq, Nk) with batch offset ``b0``, query
@@ -232,13 +249,24 @@ def ring_hash_keep(seed, b0, q0, k0, shape, rate: float):
             + (jnp.uint32(b0) + ib + jnp.uint32(1)) * jnp.uint32(0x27220A95))
     x = (base ^ ((jnp.uint32(q0) + ir) * jnp.uint32(0xC2B2AE3D))
          ^ ((jnp.uint32(k0) + ic) * jnp.uint32(0x27D4EB2F)))
-    x ^= x >> 16
-    x *= jnp.uint32(0x85EBCA6B)
-    x ^= x >> 13
-    x *= jnp.uint32(0xC2B2AE35)
-    x ^= x >> 16
-    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
-    return x >= jnp.uint32(threshold)
+    return _fmix_keep(x, rate)
+
+
+def hash_keep3d(seed, site: int, b0, row0, shape, rate: float):
+    """Keep mask for a position-local dropout site over GLOBAL coordinates:
+    ``shape`` = (B, N, C) with global batch offset ``b0`` and global row
+    offset ``row0``. Per fixed batch index this is bit-identical to the
+    fused kernels' ``ops/block_train._hash_keep`` — same mixing, same site
+    constants — so masks agree across shardings and with a dense replay."""
+    ib = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(row0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    base = (seed * jnp.uint32(0x9E3779B1)
+            + jnp.uint32(site * 131071 + 17) * jnp.uint32(0x85EBCA77)
+            + (jnp.uint32(b0) + ib + jnp.uint32(1)) * jnp.uint32(0x27220A95))
+    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    return _fmix_keep(x, rate)
 
 
 def ring_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -305,13 +333,7 @@ def ring_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     (o, _, l, _, _, _), _ = jax.lax.scan(
         jax.checkpoint(step), (o0, m0, l0, k, v, pad_mask),
         jnp.arange(n_shards))
-
-    # Safe denominator: `where(l==0, 0, o/l)` alone still divides by zero
-    # inside the VJP (0/0 → NaN grads for fully-padded rows, which pmean
-    # would spread into every parameter).
-    l_safe = jnp.where(l == 0.0, 1.0, l)[..., None]
-    out = jnp.where(l[..., None] == 0.0, 0.0, o / l_safe)
-    return out.astype(q.dtype)
+    return _normalize(o, l[..., None], q.dtype)
 
 
 def make_ring_forward(mesh: Mesh, scale: float, seq_axis: str = "seq",

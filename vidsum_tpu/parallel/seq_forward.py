@@ -22,31 +22,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from vidsum_tpu.config import ModelConfig
 from vidsum_tpu.models.simnet import simnet_apply
 from vidsum_tpu.parallel.ring_attention import (
-    ring_attention, ring_attention_train,
+    hash_keep3d, ring_attention, ring_attention_train,
 )
 
-
-def hash_keep3d(seed, site: int, b0, row0, shape, rate: float):
-    """Keep mask for a position-local dropout site over GLOBAL coordinates:
-    ``shape`` = (B, N, C) with global batch offset ``b0`` and global row
-    offset ``row0``. Per fixed batch index this is bit-identical to the
-    fused kernels' ``ops/block_train._hash_keep`` — same mixing, same site
-    constants — so masks agree across shardings and with a dense replay."""
-    ib = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(row0)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
-    seed = jnp.asarray(seed).astype(jnp.uint32)
-    base = (seed * jnp.uint32(0x9E3779B1)
-            + jnp.uint32(site * 131071 + 17) * jnp.uint32(0x85EBCA77)
-            + (jnp.uint32(b0) + ib + jnp.uint32(1)) * jnp.uint32(0x27220A95))
-    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
-    x ^= x >> 16
-    x *= jnp.uint32(0x85EBCA6B)
-    x ^= x >> 13
-    x *= jnp.uint32(0xC2B2AE35)
-    x ^= x >> 16
-    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
-    return x >= jnp.uint32(threshold)
+__all__ = ["hash_keep3d", "make_seq_sharded_finetune_step",
+           "make_seq_sharded_forward"]
 
 
 def make_seq_sharded_forward(cfg: ModelConfig, mesh: Mesh,
