@@ -30,6 +30,10 @@ def main() -> None:
     p.add_argument("--folds", type=int, default=5)
     p.add_argument("--state_save_every", type=int, default=1)
     p.add_argument("--model_save_every", type=int, default=1)
+    p.add_argument("--aug", action="store_true",
+                   help="augmented protocol: train on a 4-dataset mix "
+                        "(tvsum+summe+ovp+youtube synthetic h5s), eval on "
+                        "the experiment dataset — the *_aug.yaml recipe")
     p.add_argument("--out", default=None)
     args = p.parse_args()
     logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
@@ -44,6 +48,14 @@ def main() -> None:
         os.path.join(root, "summarizer_dataset_tvsum_google_pool5.h5"),
         n_videos=args.videos, seed=0)
     keys = [f"x.h5/video_{i}" for i in range(args.videos)]
+    if args.aug:
+        # augmented mix (the *_aug.yaml recipe): the other three datasets
+        # contribute ALL their videos to training; split keys restrict only
+        # the experiment dataset (data/datasets.py TSDataset)
+        from vidsum_tpu.data import PATH as PATH_MAP
+        for di, name in enumerate(("summe", "ovp", "youtube")):
+            make_synthetic_h5(os.path.join(root, PATH_MAP[name]),
+                              n_videos=args.videos // 2, seed=10 + di)
 
     # DSNet-style rotating folds: each fold holds out a contiguous fifth
     folds = []
@@ -56,7 +68,9 @@ def main() -> None:
     cfg = Config(
         model=ModelConfig(d_model=256, num_heads=4, num_layers=4,
                           dropout=0.3, compute_dtype="bfloat16"),
-        data=DataConfig(root=root, ex_dataset="tvsum", datasets="tvsum"),
+        data=DataConfig(root=root, ex_dataset="tvsum",
+                        datasets=("tvsum+summe+ovp+youtube" if args.aug
+                                  else "tvsum")),
         train=TrainConfig(batch_size=4, max_epoch=args.epochs,
                           state_save_every=args.state_save_every,
                           model_save_every=args.model_save_every),
@@ -76,6 +90,7 @@ def main() -> None:
         "per_split": result.per_split,
         "state_save_every": args.state_save_every,
         "model_save_every": args.model_save_every,
+        "aug": args.aug,
     }
     print(json.dumps(out))
     if args.out:
