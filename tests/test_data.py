@@ -4,8 +4,9 @@ import numpy as np
 import pytest
 
 from vidsum_tpu.data import (
-    PATH, PreTrainDataset, TSDataset, bucket_length, load_splits, make_batches,
-    pad_batch, pad_batch_pretrain, split_keys_to_names,
+    PATH, PreTrainDataset, TSDataset, bucket_length, item_weights,
+    load_splits, make_batches, pad_batch, pad_batch_pretrain,
+    split_keys_to_names,
 )
 from vidsum_tpu.data.splits import builtin_split_path
 from vidsum_tpu.data.synthetic import (
@@ -110,6 +111,15 @@ def test_make_batches_modes():
     assert [len(b) for b in batches] == [4, 4]
     batches = list(make_batches(10, 4, shuffle=False, pad_to_batch=True))
     assert [len(b) for b in batches] == [4, 4, 4]
+    # the padded final chunk cycles its OWN indices (keeps the length
+    # bucket of the real items) and item_weights zero-weights the repeats
+    assert batches[-1] == [8, 9, 8, 9]
+    np.testing.assert_array_equal(item_weights(batches[-1]),
+                                  [1.0, 1.0, 0.0, 0.0])
+    np.testing.assert_array_equal(item_weights(batches[0]), np.ones(4))
+    # 1-item final chunk cycles to fill the whole batch
+    assert list(make_batches(9, 4, shuffle=False, pad_to_batch=True))[-1] \
+        == [8, 8, 8, 8]
     # shuffle is deterministic under a fixed generator
     a = list(make_batches(10, 4, shuffle=True, rng=np.random.default_rng(0)))
     b = list(make_batches(10, 4, shuffle=True, rng=np.random.default_rng(0)))

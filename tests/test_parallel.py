@@ -217,3 +217,66 @@ def test_dp_shardmap_step_with_dropout_runs():
                       jnp.asarray(t), jnp.asarray(mask),
                       jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_padded_final_batch_matches_smaller_batch():
+    """VERDICT #7: with pad_to_batch repeats zero-weighted via item_weight,
+    the mesh train step on the padded batch equals the single-device step on
+    the reference's smaller final batch — loss AND updated params (10 items,
+    batch size 4 → final chunk [8,9,8,9], weights [1,1,0,0])."""
+    from jax.sharding import Mesh
+    from vidsum_tpu.data.collate import item_weights, make_batches
+    from vidsum_tpu.parallel.dp_shardmap import make_dp_shardmap_finetune_step
+
+    chunk = list(make_batches(10, 4, shuffle=False, pad_to_batch=True))[-1]
+    assert chunk == [8, 9, 8, 9]
+    w = item_weights(chunk)
+
+    rng_data = np.random.default_rng(77)
+    feats = [rng_data.normal(size=(n, 1024)).astype(np.float32)
+             for n in [30, 20]]  # items 8 and 9
+    tgts = [rng_data.random(n).astype(np.float32) for n in [30, 20]]
+
+    from vidsum_tpu.data.collate import pad_batch
+    # reference semantics: the smaller final batch, padded to its bucket
+    x2, t2, m2 = pad_batch(feats, tgts, bucket=32)
+    # mesh semantics: same items cycled to the static batch size
+    feats4 = [feats[i - 8] for i in chunk]
+    tgts4 = [tgts[i - 8] for i in chunk]
+    x4, t4, m4 = pad_batch(feats4, tgts4, bucket=32)
+    assert x4.shape[1] == x2.shape[1]  # own-chunk cycling keeps the bucket
+
+    optimizer = make_optimizer(1e-3, 1e-4)
+    params = init_simnet(jax.random.PRNGKey(3), CFG)
+    rng = jax.random.PRNGKey(11)
+
+    ref_step = make_finetune_step(CFG, optimizer)
+    ref_params, _, ref_loss = ref_step(
+        jax.tree_util.tree_map(jnp.copy, params), optimizer.init(params),
+        jnp.asarray(x2), jnp.asarray(t2), jnp.asarray(m2), rng)
+
+    # dp shard_map path (the fused-kernel multi-chip path)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    step = make_dp_shardmap_finetune_step(CFG, optimizer, mesh,
+                                          attn_impl="pallas")
+    sp, _, loss = step(jax.tree_util.tree_map(jnp.copy, params),
+                       optimizer.init(params), jnp.asarray(x4),
+                       jnp.asarray(t4), jnp.asarray(m4), rng,
+                       jnp.asarray(w))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+    # GSPMD dp×tp path
+    gmesh = make_mesh(MeshConfig(data=4, model=2))
+    init_fn, gstep = make_sharded_finetune_step(CFG, optimizer, gmesh)
+    gp, go = init_fn(jax.tree_util.tree_map(jnp.copy, params))
+    gp, _, gloss = gstep(gp, go, jnp.asarray(x4), jnp.asarray(t4),
+                         jnp.asarray(m4), rng, jnp.asarray(w))
+    np.testing.assert_allclose(float(gloss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

@@ -12,6 +12,7 @@ semantics are preserved for parity (the mask is still derivable as
 
 from __future__ import annotations
 
+import itertools
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -74,9 +75,13 @@ def make_batches(n_items: int, batch_size: int, *, shuffle: bool,
                  drop_last: bool = False,
                  pad_to_batch: bool = False) -> Iterator[List[int]]:
     """Yield index batches. With ``pad_to_batch`` the last partial batch is
-    filled by repeating earlier indices (so shapes stay static for jit); the
-    train loss weights repeated items like the reference weights its smaller
-    final batch — acceptable for parity since the reference shuffles anyway.
+    filled by cycling its *own* indices (so shapes stay static for jit).
+    Cycling the chunk — rather than borrowing epoch-front indices — keeps
+    the padded batch's length bucket identical to the reference's smaller
+    final batch, and the repeats are exact duplicates the train loss
+    zero-weights (``mse_with_mask_loss(item_weight=…)``), so the mesh step
+    computes exactly the reference's smaller-final-batch loss
+    (``/root/reference/src/train.py:58-64`` semantics).
     """
     idx = np.arange(n_items)
     if shuffle:
@@ -87,5 +92,21 @@ def make_batches(n_items: int, batch_size: int, *, shuffle: bool,
             if drop_last:
                 return
             if pad_to_batch:
-                chunk = chunk + idx[: batch_size - len(chunk)].tolist()
+                reps = itertools.islice(itertools.cycle(chunk),
+                                        batch_size - len(chunk))
+                chunk = chunk + list(reps)
         yield chunk
+
+
+def item_weights(batch_idx: List[int]) -> np.ndarray:
+    """(B,) f32: 1.0 at the first occurrence of each index, 0.0 at repeats.
+    Within one epoch each dataset index appears in at most one batch (the
+    epoch order is a permutation), so repeats can only be ``pad_to_batch``
+    fill — zero-weighting them makes the padded batch's loss/grads equal the
+    unpadded smaller batch's."""
+    seen: set = set()
+    w = np.empty(len(batch_idx), dtype=np.float32)
+    for j, i in enumerate(batch_idx):
+        w[j] = 0.0 if i in seen else 1.0
+        seen.add(i)
+    return w

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidsum_tpu.ops.block_kernel import _pick_group
+
 TILE = 128
 LN_EPS = 1e-5
 NEG_INF = float("-inf")
@@ -475,15 +477,12 @@ def _bwd_kernel_grouped(x_ref, mask_ref, seed_ref, *refs, num_heads, scale,
 
 
 def _pick_train_group(B: int, N: int) -> int:
-    """Group policy for the train kernels (same rationale/caps as
-    ops/block_kernel._pick_group; the bwd additionally retains G·H (N, N)
-    f32 softmax tensors, which stays under 5 MB at these caps)."""
-    if N >= 512:
-        return 1
-    g = max(1, min(B, 1024 // N))
-    while g > 1 and B % g:
-        g -= 1
-    return g
+    """Group policy for the train kernels: shared with the inference
+    kernels (ops/block_kernel._pick_group) so the VMEM-guard group choice
+    and the kernels' group choice can never desynchronize. The bwd
+    additionally retains G·H (N, N) f32 softmax tensors, which stays under
+    5 MB at the shared caps (N < 512 ⇒ G·N ≤ 1024)."""
+    return _pick_group(B, N)
 
 
 def _cast_w(flat_w, cd):

@@ -19,13 +19,27 @@ import jax.numpy as jnp
 
 
 def mse_with_mask_loss(output: jnp.ndarray, targets: jnp.ndarray,
-                       pad_mask: jnp.ndarray, reduction: str = "avg") -> jnp.ndarray:
+                       pad_mask: jnp.ndarray, reduction: str = "avg",
+                       item_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Masked MSE. ``output`` (B, N, 1), ``targets`` (B, N), ``pad_mask`` (B, N)
-    True at padded frames."""
+    True at padded frames.
+
+    ``item_weight`` (B,) — per-video weights for batches padded to a static
+    size by repeating items (``collate.make_batches(pad_to_batch=True)``):
+    repeats get weight 0 and the mean divides by ``sum(weight)·N``, so the
+    loss (and therefore the gradient) equals the reference's smaller final
+    batch exactly (``/root/reference/src/train.py:58-64`` +
+    ``src/utils/utils.py:45-56``). With all-ones weights this is the plain
+    mean over every position (padded included — the reference quirk)."""
     output = output.squeeze(-1)
     keep = jnp.where(pad_mask, 0.0, 1.0).astype(output.dtype)
     diff = output * keep - targets * keep
     loss = diff * diff
+    if item_weight is not None:
+        loss = loss * item_weight[:, None].astype(loss.dtype)
+        if reduction == "avg":
+            return loss.sum() / (item_weight.sum() * loss.shape[1])
+        return loss.sum()
     if reduction == "avg":
         return loss.mean()
     return loss.sum()

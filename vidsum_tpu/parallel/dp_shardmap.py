@@ -54,15 +54,47 @@ def make_dp_shardmap_finetune_step(cfg: ModelConfig,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    def weighted_loss_fn(params, x, target, pad_mask, rng, w, denom):
+        scores, _ = simnet_apply(params, cfg, x, pad_mask, rng=rng,
+                                 deterministic=False, attn_impl=attn_impl)
+        local_sum = mse_with_mask_loss(scores, target, pad_mask,
+                                       reduction="sum", item_weight=w)
+        return local_sum / denom
+
+    def local_step_weighted(params, opt_state, x, target, pad_mask, rng, w):
+        """Padded-final-batch variant: the global loss is the weighted sum
+        over every shard divided by ``sum(w_global)·N`` — exactly the
+        smaller final batch's mean — so local losses/grads are *psum*-med,
+        not averaged."""
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        denom = jax.lax.psum(w.sum(), data_axis) * x.shape[1]
+        loss, grads = jax.value_and_grad(weighted_loss_fn)(
+            params, x, target, pad_mask, rng, w, denom)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, data_axis), grads)
+        loss = jax.lax.psum(loss, data_axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, x, target, pad_mask, rng):
+    def step(params, opt_state, x, target, pad_mask, rng, item_weight=None):
+        if item_weight is None:
+            return jax.shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(P(), P(), P(data_axis, None, None),
+                          P(data_axis, None), P(data_axis, None), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,  # opt state updates are replicated-safe
+            )(params, opt_state, x, target, pad_mask, rng)
         return jax.shard_map(
-            local_step,
+            local_step_weighted,
             mesh=mesh,
             in_specs=(P(), P(), P(data_axis, None, None), P(data_axis, None),
-                      P(data_axis, None), P()),
+                      P(data_axis, None), P(), P(data_axis)),
             out_specs=(P(), P(), P()),
-            check_vma=False,  # optimizer state updates are replicated-safe
-        )(params, opt_state, x, target, pad_mask, rng)
+            check_vma=False,
+        )(params, opt_state, x, target, pad_mask, rng, item_weight)
 
     return step

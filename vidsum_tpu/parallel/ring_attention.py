@@ -58,7 +58,9 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q32 = q.astype(jnp.float32) * scale
     neg_inf = jnp.float32(-jnp.inf)
 
-    supported = _ring_block_supported(Nl, Nl, Dh, k.dtype.itemsize)
+    # itemsize 4: the step kernel upcasts K/V to f32 in VMEM regardless of
+    # the wire dtype
+    supported = _ring_block_supported(Nl, Nl, Dh, 4)
     use_pallas = supported and (
         block_impl == "pallas"
         or (block_impl == "auto" and jax.default_backend() == "tpu"))
@@ -179,6 +181,13 @@ def _ring_block_step(q32, kb, vb, mb, o, m, l, interpret: bool):
     Returns updated (o, m, l)."""
     B, H, Nq, Dh = q32.shape
     Nk = kb.shape[2]
+    # Upcast K/V at the kernel boundary: matches the XLA step's
+    # .astype(float32) semantics exactly and avoids the (unvalidated on
+    # chip) mixed f32×bf16 dot_general inside Mosaic. The ppermute in the
+    # caller still moves bf16 over ICI; only the VMEM-resident block pays
+    # the f32 cost (accounted for in _ring_block_supported via itemsize=4).
+    kb = kb.astype(jnp.float32)
+    vb = vb.astype(jnp.float32)
 
     grid = (B, H)
     q_spec = pl.BlockSpec((1, 1, Nq, Dh), lambda b, h: (b, h, 0, 0),

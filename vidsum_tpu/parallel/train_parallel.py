@@ -52,20 +52,25 @@ def make_sharded_finetune_step(cfg: ModelConfig,
         )(params)
         return params, opt_state
 
-    def loss_fn(params, x, target, pad_mask, rng):
+    def loss_fn(params, x, target, pad_mask, rng, item_weight):
         scores, _ = simnet_apply(params, cfg, x, pad_mask, rng=rng,
                                  deterministic=False, attn_impl=attn_impl)
-        return mse_with_mask_loss(scores, target, pad_mask)
+        return mse_with_mask_loss(scores, target, pad_mask,
+                                  item_weight=item_weight)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step_fn(params, opt_state, x, target, pad_mask, rng):
+    def step_fn(params, opt_state, x, target, pad_mask, rng,
+                item_weight=None):
         x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh, 3))
         target = jax.lax.with_sharding_constraint(target,
                                                   batch_sharding(mesh, 2))
         pad_mask = jax.lax.with_sharding_constraint(pad_mask,
                                                     batch_sharding(mesh, 2))
+        if item_weight is not None:
+            item_weight = jax.lax.with_sharding_constraint(
+                item_weight, batch_sharding(mesh, 1))
         loss, grads = jax.value_and_grad(loss_fn)(params, x, target,
-                                                  pad_mask, rng)
+                                                  pad_mask, rng, item_weight)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

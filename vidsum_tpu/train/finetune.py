@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vidsum_tpu.config import Config
-from vidsum_tpu.data.collate import make_batches, pad_batch
+from vidsum_tpu.data.collate import item_weights, make_batches, pad_batch
 from vidsum_tpu.data.datasets import TSDataset
 from vidsum_tpu.models.simnet import count_params, init_simnet
 from vidsum_tpu.ops.metrics import eval_metrics
@@ -66,9 +66,16 @@ def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
         x, t, mask = pad_batch(feats, tgts, pad_value=cfg.data.pad_value,
                                bucket=cfg.data.length_bucket)
         rng_jax, sub = jax.random.split(rng_jax)
+        # Under pad_to_batch the final chunk cycles its own indices to the
+        # static batch size; weights are always passed (all-ones on full
+        # batches) so every step runs the same compiled program, and the
+        # zero-weighted repeats make the padded batch's loss and grads
+        # exactly the reference's smaller-final-batch semantics.
+        w = item_weights(batch_idx) if pad_to_batch else None
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(x), jnp.asarray(t),
-            jnp.asarray(mask), sub)
+            jnp.asarray(mask), sub,
+            jnp.asarray(w) if w is not None else None)
         # keep the loss on device: a float() here would force a blocking
         # host fetch per step (the axon relay charges ~ms per sync) and
         # serialize the dispatch pipeline. One stacked fetch per epoch.
@@ -290,8 +297,12 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
                     {"params": host_params,
                      "opt_state": jax.device_get(opt_state)},
                     meta={"epoch": epoch, "split": split_idx,
-                          "per_split": per_split, "fs": fs, "ks": ks,
-                          "ss": ss})
+                          # snapshot: the checkpointer json-serializes meta
+                          # on its background thread while this loop keeps
+                          # appending; live references would let a lagging
+                          # writer record lists inconsistent with 'epoch'
+                          "per_split": list(per_split), "fs": list(fs),
+                          "ks": list(ks), "ss": list(ss)})
 
         split_best = {"fscore": max(fs), "kendall_tau": max(ks) if ks else float("nan"),
                       "spearman_rho": max(ss) if ss else float("nan")}

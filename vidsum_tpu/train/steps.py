@@ -46,15 +46,16 @@ def make_finetune_step(cfg: ModelConfig, optimizer: optax.GradientTransformation
     """Returns jitted ``step(params, opt_state, x, target, pad_mask, rng) ->
     (params, opt_state, loss)``."""
 
-    def loss_fn(params, x, target, pad_mask, rng):
+    def loss_fn(params, x, target, pad_mask, rng, item_weight):
         scores, _ = simnet_apply(params, cfg, x, pad_mask, rng=rng,
                                  deterministic=False, attn_impl=attn_impl)
-        return mse_with_mask_loss(scores, target, pad_mask)
+        return mse_with_mask_loss(scores, target, pad_mask,
+                                  item_weight=item_weight)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, x, target, pad_mask, rng):
+    def step(params, opt_state, x, target, pad_mask, rng, item_weight=None):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, target, pad_mask,
-                                                  rng)
+                                                  rng, item_weight)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
