@@ -30,7 +30,8 @@ def evaluate_summary(predicted_summary: np.ndarray, user_summary: np.ndarray,
     G = np.zeros(max_len, dtype=int)
     S[: len(predicted_summary)] = predicted_summary
 
-    if int(S.sum()) == 0:
+    s_total = S.sum()  # np.int64, like the reference's builtin sum(S)
+    if int(s_total) == 0:
         # an empty machine summary (every shot exceeds the budget) scores 0
         # — the reference raises ZeroDivisionError here (crash-bug policy:
         # fixed, behavior documented)
@@ -41,11 +42,16 @@ def evaluate_summary(predicted_summary: np.ndarray, user_summary: np.ndarray,
         G[:] = 0
         G[: user_summary.shape[1]] = user_summary[user]
         overlapped = S & G
-        n_overlap = int(overlapped.sum())
-        precision = n_overlap / int(S.sum())
-        recall = n_overlap / int(G.sum())
+        n_overlap = overlapped.sum()
+        # keep np.float64 scalars (not Python floats): CPython >=3.12's
+        # builtin sum() applies Neumaier compensation to Python floats but
+        # left-folds numpy scalars — the reference sums np.float64s, so
+        # Python floats here would flip the 'avg' reduction's last bit
+        # (caught by tests/test_reference_differential.py)
+        precision = n_overlap / s_total
+        recall = n_overlap / G.sum()
         if precision + recall == 0:
-            f_scores.append(0.0)
+            f_scores.append(0)
         else:
             f_scores.append(2 * precision * recall * 100 / (precision + recall))
 
