@@ -19,6 +19,13 @@ import json
 import sys
 import time
 
+if "--tpu" not in sys.argv:
+    # keep this CPU-only by default: the axon sitecustomize would otherwise
+    # dial the single-client TPU tunnel for the --device-eval path
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
@@ -47,6 +54,9 @@ def main():
     ap.add_argument("--n", type=int, default=10000)
     ap.add_argument("--kts_n", type=int, default=300)
     ap.add_argument("--device-eval", action="store_true")
+    ap.add_argument("--tpu", action="store_true",
+                    help="let JAX resolve the real backend (occupies the "
+                         "single-client tunnel)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 

@@ -91,3 +91,53 @@ def test_eval_metrics_device_impl_matches_host():
     host = eval_metrics(sd, ud, impl="host")
     dev = eval_metrics(sd, ud, impl="device")
     np.testing.assert_allclose(host, dev, rtol=0, atol=0)
+
+
+def test_device_matches_host_on_tiny_shot_storm():
+    """Many 1-3-frame shots → hundreds of knapsack items with massive tie
+    density; the df32 DP (ops/df32.py) must select exactly the host float64
+    oracle's shots (the plain-f32 DP mismatched 41/111 such videos)."""
+    rng = np.random.default_rng(99)
+    bounds_l, scores_l, frames_l, picks_l = [], [], [], []
+    for _ in range(12):
+        n_picks = int(rng.integers(60, 140))
+        step = int(rng.integers(4, 16))
+        picks = np.arange(n_picks) * step
+        n_frames = int(picks[-1] + rng.integers(1, step + 1))
+        seg = int(rng.integers(1, 4))
+        bounds = np.concatenate([np.arange(0, n_frames, seg), [n_frames]])
+        cp = np.stack([bounds[:-1], bounds[1:] - 1], axis=1)
+        # quantized scores maximize exact ties
+        scores = (rng.integers(0, 4, size=n_picks) / 4.0).astype(np.float32)
+        bounds_l.append(cp); scores_l.append(scores)
+        frames_l.append(n_frames); picks_l.append(picks)
+    host = generate_summary(bounds_l, scores_l, frames_l, picks_l)
+    dev = device_generate_summary(bounds_l, scores_l, frames_l, picks_l)
+    for i, (h, d) in enumerate(zip(host, dev)):
+        np.testing.assert_array_equal(h, d, err_msg=f"video {i}")
+
+
+def test_df32_primitives():
+    """two_sum exactness and df_add accuracy vs float64."""
+    import jax.numpy as jnp
+    from vidsum_tpu.ops.df32 import df_add, df_cumsum, two_sum
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=1024).astype(np.float32)
+    b = (rng.normal(size=1024) * 1e-4).astype(np.float32)
+    s, e = two_sum(jnp.asarray(a), jnp.asarray(b))
+    # s + e == a + b exactly (in f64, since s,e are non-overlapping f32)
+    np.testing.assert_array_equal(
+        np.asarray(s, np.float64) + np.asarray(e, np.float64),
+        a.astype(np.float64) + b.astype(np.float64))
+
+    # cumsum: hi+lo tracks the f64 cumsum to ~2^-40 relative
+    x = rng.random(4096).astype(np.float32)
+    h, l = df_cumsum(jnp.asarray(x))
+    ref = np.cumsum(x.astype(np.float64))
+    got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+    # while the plain f32 cumsum is ~6 orders worse
+    f32_err = np.abs(np.cumsum(x) - ref).max()
+    df_err = np.abs(got - ref).max()
+    assert df_err < f32_err / 1e4

@@ -52,16 +52,28 @@ def _kernel_fn(P: int, F: int, S: int, W: int):
         valid = (f_idx < n_frames) & (j >= 0) & (j < n_picks)
         frame_scores = jnp.where(valid, scores[jnp.clip(j, 0, P - 1)], 0.0)
 
-        # --- per-shot mean importance (generate_summary.py:37-42)
-        csum = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                                jnp.cumsum(frame_scores)])
+        # --- per-shot mean importance (generate_summary.py:37-42).
+        # Double-float cumulative sums (ops/df32): a plain f32 cumsum
+        # carries ~2^-24·|csum| absolute error into every shot-sum
+        # difference, which measurably flipped knapsack decisions at
+        # many-tiny-shots scale. sum_h is the correctly-rounded f32 of the
+        # near-exact shot sum; dividing it by the f32 count reproduces
+        # numpy's float32 ``.mean()`` (the host oracle's value) up to
+        # double-rounding corner cases.
+        from vidsum_tpu.ops.df32 import df_cumsum, df_sub
+
+        ch, cl = df_cumsum(frame_scores)
+        zero1 = jnp.zeros((1,), jnp.float32)
+        ch = jnp.concatenate([zero1, ch])
+        cl = jnp.concatenate([zero1, cl])
         starts = jnp.clip(cps[:, 0], 0, F - 1)
         ends = jnp.clip(cps[:, 1], 0, F - 1)
         shot_valid = jnp.arange(S) < n_shots
         lengths = jnp.where(shot_valid, ends - starts + 1, 0)
-        sums = csum[ends + 1] - csum[starts]
+        sum_h, _ = df_sub(ch[ends + 1], cl[ends + 1],
+                          ch[starts], cl[starts])
         values = jnp.where(shot_valid,
-                           sums / jnp.maximum(lengths, 1).astype(jnp.float32),
+                           sum_h / jnp.maximum(lengths, 1).astype(jnp.float32),
                            0.0)
 
         # --- 0/1 knapsack DP (knapsack_implementation.py:1-30): static
