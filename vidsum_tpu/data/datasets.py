@@ -35,9 +35,14 @@ from vidsum_tpu.data.splits import split_keys_to_names
 
 @dataclasses.dataclass
 class UserSummaries:
-    """Per-video eval metadata (reference: dataset.py:146-154)."""
-    user_summary: np.ndarray    # (U, F) binary
-    user_scores: np.ndarray     # (U, F)
+    """Per-video eval metadata (reference: dataset.py:146-154).
+
+    ``user_scores`` is None for the eccv16-layout archives, which do not
+    carry per-annotator scores (only the ``summarizer_dataset_*`` files do
+    — the reference's two divergent PATH maps); τ/ρ are then reported nan.
+    """
+    user_summary: np.ndarray    # (U, F) binary (int or float 0/1 on disk)
+    user_scores: Optional[np.ndarray]  # (U, F) or None (eccv16 files)
     change_points: np.ndarray   # (S, 2) inclusive bounds
     n_frames: int
     picks: np.ndarray           # (n_steps,) original-frame indices
@@ -71,10 +76,15 @@ class TSDataset:
                     self.targets.append(g["gtscore"][...].astype(np.float32))
                     self.user_summaries.append(UserSummaries(
                         user_summary=np.asarray(g["user_summary"]),
-                        user_scores=np.asarray(g["user_scores"]),
+                        # eccv16 files carry no user_scores (τ/ρ → nan)
+                        user_scores=(np.asarray(g["user_scores"])
+                                     if "user_scores" in g else None),
                         change_points=np.asarray(g["change_points"]),
                         n_frames=int(np.asarray(g["n_frames"]).reshape(())),
-                        picks=np.asarray(g["picks"]),
+                        # real eccv16 files store picks (n_steps, 1)
+                        # (reference compute_metrics.py:24) — a shape the
+                        # reference's own upsample crashes on; normalize
+                        picks=np.asarray(g["picks"]).reshape(-1),
                         name=name))
         else:
             for dataset in self.datasets:

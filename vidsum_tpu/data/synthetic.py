@@ -19,8 +19,24 @@ import numpy as np
 def make_synthetic_h5(path: str, n_videos: int = 6, n_users: int = 5,
                       min_picks: int = 60, max_picks: int = 120,
                       frame_step: int = 15, feature_dim: int = 1024,
-                      seed: int = 0) -> None:
-    """Write a DSNet-schema h5 file with learnable scores."""
+                      seed: int = 0, layout: str = "summarizer") -> None:
+    """Write a DSNet-schema h5 file with learnable scores.
+
+    ``layout="summarizer"`` (default) is the clean schema the test suite has
+    always used. ``layout="eccv16"`` replicates the REAL archives' byte
+    layout quirks so drop-in runs are exercised before the data exists here
+    (VERDICT r1 #5): ``picks`` stored ``(n_steps, 1)`` int64 (documented at
+    reference ``compute_metrics.py:24``; the reference's own upsample
+    CRASHES on it — our loaders normalize), ``user_summary``/``gtsummary``
+    float64 0/1, ``change_points`` alternating int64/int32 across videos,
+    plus the extra keys real files carry (``n_steps``, ``gtsummary``,
+    ``n_frame_per_seg``, ``video_name``) which readers must tolerate.
+    ``user_scores`` is OMITTED in eccv16 layout — only the
+    ``summarizer_dataset_*`` files carry it (src/data/path.py vs
+    src/evaluation/compute_metrics.py PATH split) — so τ/ρ become nan.
+    """
+    if layout not in ("summarizer", "eccv16"):
+        raise ValueError(f"unknown layout {layout!r}")
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # a fixed linear probe makes gtscore a deterministic function of features
@@ -56,11 +72,25 @@ def make_synthetic_h5(path: str, n_videos: int = 6, n_users: int = 5,
             g = f.create_group(f"video_{vi}")
             g["features"] = feats
             g["gtscore"] = gtscore
-            g["user_summary"] = user_summary
-            g["user_scores"] = user_scores
-            g["change_points"] = change_points
-            g["n_frames"] = np.int64(n_frames)
-            g["picks"] = picks
+            if layout == "summarizer":
+                g["user_summary"] = user_summary
+                g["user_scores"] = user_scores
+                g["change_points"] = change_points
+                g["n_frames"] = np.int64(n_frames)
+                g["picks"] = picks
+            else:  # eccv16 byte-layout quirks
+                g["user_summary"] = user_summary.astype(np.float64)
+                cp_dtype = np.int64 if vi % 2 == 0 else np.int32
+                g["change_points"] = change_points.astype(cp_dtype)
+                g["n_frames"] = np.int64(n_frames)
+                g["picks"] = picks.reshape(-1, 1).astype(np.int64)
+                g["n_steps"] = np.int64(n_picks)
+                g["gtsummary"] = base_summary[
+                    np.clip(picks, 0, n_frames - 1)].astype(np.float64)
+                g["n_frame_per_seg"] = (change_points[:, 1]
+                                        - change_points[:, 0]
+                                        + 1).astype(np.int64)
+                g["video_name"] = np.bytes_(f"synthetic_{vi}.mp4")
 
 
 def make_synthetic_pretrain_tree(root: str, n_videos: int = 8,

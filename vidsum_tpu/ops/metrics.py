@@ -107,7 +107,13 @@ def eval_metrics(score_dict: Dict[str, np.ndarray], user_dict: Dict[str, object]
     for summary, scores, user in zip(all_summaries, all_scores, users):
         frame_scores = upsample(scores, user.n_frames, np.asarray(user.picks))
         all_f.append(evaluate_summary(summary, user.user_summary, eval_method))
-        k, s = evaluate_scores(frame_scores, user.user_scores)
+        if user.user_scores is None:
+            # eccv16-layout files carry no per-annotator scores; the
+            # reference's TSDataset would KeyError reading them — we load
+            # them as None and report nan correlations (F stays defined)
+            k = s = float("nan")
+        else:
+            k, s = evaluate_scores(frame_scores, user.user_scores)
         all_kendall.append(k)
         all_spearman.append(s)
     return (float(np.mean(all_f)), float(np.mean(all_kendall)),
