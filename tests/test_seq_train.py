@@ -217,3 +217,99 @@ def test_ring_dropout_keep_rate():
                                      (4, 4, 64, 64), 0.3))
     rate = 1.0 - keep.mean()
     assert abs(rate - 0.3) < 0.01, rate
+
+
+def _ring_train_both(block_impl, q, k, v, pm, seed, rate, seq=4):
+    """Run ring_attention_train under shard_map on a 1x`seq` mesh."""
+    from jax.sharding import PartitionSpec as P
+    from vidsum_tpu.parallel.ring_attention import ring_attention_train
+
+    devices = np.asarray(jax.devices()[:seq]).reshape(seq)
+    mesh = Mesh(devices, ("seq",))
+
+    def local(q, k, v, pm):
+        return ring_attention_train(q, k, v, pm, 0.177, "seq", seed, rate,
+                                    b0=0, block_impl=block_impl)
+
+    spec = P(None, None, "seq", None)
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec, P(None, "seq")),
+        out_specs=spec, check_vma=False))(q, k, v, pm)
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.3])
+def test_fused_ring_train_forward_matches_xla(rate):
+    """The custom-VJP fused ring (per-step Pallas kernels, VERDICT r1 #3)
+    must produce the XLA ring's outputs bit-closely — including in-kernel
+    hash dropout and fully padded rows."""
+    rng = np.random.default_rng(31)
+    B, H, Nw, Dh = 2, 4, 512, 32   # Nl = 128 per shard (TILE_Q)
+    q = jnp.asarray(rng.normal(size=(B, H, Nw, Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, Nw, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, Nw, Dh)), jnp.float32)
+    pm = jnp.asarray(np.arange(Nw)[None, :] >= 400) | jnp.zeros((B, 1), bool)
+    pm = pm.at[1, :].set(True)     # one fully padded batch row
+    seed = jnp.int32(1234)
+
+    out_x = _ring_train_both("xla", q, k, v, pm, seed, rate)
+    out_p = _ring_train_both("pallas", q, k, v, pm, seed, rate)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.3])
+def test_fused_ring_train_grads_match_xla(rate):
+    """dq/dk/dv of the fused ring's custom VJP equal the XLA ring's
+    autodiff gradients."""
+    rng = np.random.default_rng(32)
+    B, H, Nw, Dh = 2, 4, 512, 32
+    q = jnp.asarray(rng.normal(size=(B, H, Nw, Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, Nw, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, Nw, Dh)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(B, H, Nw, Dh)), jnp.float32)
+    pm = jnp.asarray(np.arange(Nw)[None, :] >= 448) | jnp.zeros((B, 1), bool)
+    seed = jnp.int32(77)
+
+    def loss(impl):
+        def f(q, k, v):
+            out = _ring_train_both(impl, q, k, v, pm, seed, rate)
+            return jnp.sum(out * w)
+        return f
+
+    gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6,
+                                   err_msg=f"d{name} rate={rate}")
+
+
+def test_seq_train_step_fused_matches_xla_step():
+    """Full sequence-parallel TRAIN step (model + losses + Adam) through
+    the fused ring path == the XLA ring path: loss and updated params."""
+    cfg = ModelConfig(d_model=32, num_heads=4, num_layers=2, dropout=0.3,
+                      max_len=512)
+    b, n = 2, 512
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(b, n, 1024)), jnp.float32)
+    t = jnp.asarray(rng.random((b, n)), jnp.float32)
+    mask = jnp.asarray((np.arange(n)[None, :] >= 460)
+                       * np.ones((b, 1), bool))
+    key = jax.random.PRNGKey(21)
+    optimizer = make_optimizer(1e-3, 1e-4)
+    params = init_simnet(jax.random.PRNGKey(5), cfg)
+
+    mesh = make_mesh(2, 4)
+    step_x = make_seq_sharded_finetune_step(cfg, optimizer, mesh,
+                                            block_impl="xla")
+    step_p = make_seq_sharded_finetune_step(cfg, optimizer, mesh,
+                                            block_impl="pallas")
+    px, _, lx = step_x(fresh(params), optimizer.init(fresh(params)),
+                       x, t, mask, key)
+    pp, _, lp = step_p(fresh(params), optimizer.init(fresh(params)),
+                       x, t, mask, key)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=2e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(pp),
+                    jax.tree_util.tree_leaves(px)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=5e-6)

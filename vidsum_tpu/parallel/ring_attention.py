@@ -281,7 +281,7 @@ def hash_keep3d(seed, site: int, b0, row0, shape, rate: float):
 def ring_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          pad_mask: Optional[jnp.ndarray], scale: float,
                          axis_name: str, seed, rate: float,
-                         b0=0) -> jnp.ndarray:
+                         b0=0, block_impl: str = "auto") -> jnp.ndarray:
     """Trainable exact ring attention: forward like :func:`ring_attention`
     plus attention-weight dropout, memory-safe under autodiff.
 
@@ -302,6 +302,19 @@ def ring_attention_train(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, H, Nl, Dh = q.shape
     if pad_mask is None:
         pad_mask = jnp.zeros((B, Nl), bool)
+
+    # fused path (VERDICT r1 #3): custom-VJP ring whose forward AND
+    # backward are per-step Pallas kernels — the (Nl, Nl) score block never
+    # touches HBM in training either (grad parity vs this XLA path in
+    # tests/test_seq_train.py and scripts/validate_on_tpu.py)
+    use_pallas = _ring_train_supported(Nl, Nl, Dh) and (
+        block_impl == "pallas"
+        or (block_impl == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
+        interpret = jax.default_backend() != "tpu"
+        return _ring_fused_train(scale, axis_name, rate, interpret,
+                                 q, k, v, pad_mask, seed,
+                                 jnp.asarray(b0, jnp.int32))
 
     s_idx = jax.lax.axis_index(axis_name)
     q0 = s_idx * Nl
@@ -367,3 +380,344 @@ def make_ring_forward(mesh: Mesh, scale: float, seq_axis: str = "seq",
         return shard(q, k, v, pad_mask)
 
     return fwd
+
+
+# ---------------------------------------------------------------------------
+# Fused TRAINABLE ring step (VERDICT r1 #3): forward kernel with in-kernel
+# hash dropout + flash-style backward kernel, assembled into a custom VJP so
+# sequence-parallel training never materializes the (Nl, Nl) score block in
+# HBM either. The XLA path above (ring_attention_train) stays the oracle;
+# grads are validated against it in tests/test_seq_train.py and on chip by
+# scripts/validate_on_tpu.py.
+
+def _ring_keep_tile(seed, b_global, h, q_start, k0, shape, rate: float):
+    """In-kernel keep mask for a (Tq, Nk) score tile — bit-identical to
+    :func:`ring_hash_keep` at global coordinates (rows q_start+i, cols
+    k0+j). All scalars arrive as traced int32; arithmetic is uint32."""
+    rows = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            + q_start.astype(jnp.uint32))
+    cols = (jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            + k0.astype(jnp.uint32))
+    base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            + (h.astype(jnp.uint32) * jnp.uint32(131071) + jnp.uint32(17))
+            * jnp.uint32(0x85EBCA77)
+            + (b_global.astype(jnp.uint32) + jnp.uint32(1))
+            * jnp.uint32(0x27220A95))
+    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    return _fmix_keep(x, rate)
+
+
+def _ring_train_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, info_ref,
+                           oin_ref, min_ref, lin_ref,
+                           oout_ref, mout_ref, lout_ref, *,
+                           n_q_tiles: int, rate: float):
+    """One (batch, head) cell of one TRAIN ring step: like
+    ``_ring_block_kernel`` but the output accumulation applies
+    attention-weight dropout (keep mask from global coordinates) while the
+    denominator keeps raw probabilities — elementwise equal to
+    ``dropout(softmax(s)) @ v`` (reference ``simnet.py:162``)."""
+    import jax.numpy as jnp  # local: kernel traced by Mosaic
+
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    key_mask = mask_ref[0] != 0
+    seed = info_ref[0, 0]
+    b_global = info_ref[0, 1] + pl.program_id(0)
+    h = pl.program_id(1)
+    q0 = info_ref[0, 2]
+    k0 = info_ref[0, 3]
+
+    def tile(i, _):
+        sl = pl.ds(i * TILE_Q, TILE_Q)
+        q = q_ref[0, 0, sl, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = jnp.where(key_mask, NEG_INF, s)
+
+        m_prev = min_ref[0, 0, sl, :]
+        l_prev = lin_ref[0, 0, sl, :]
+        o_prev = oin_ref[0, 0, sl, :]
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        dead = m_new < _DEAD
+        m_safe = jnp.where(dead, 0.0, m_new)
+        p = jnp.where(dead, 0.0, jnp.exp(s - m_safe))
+        corr = jnp.where(m_prev < _DEAD, 0.0, jnp.exp(m_prev - m_safe))
+        l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+        if rate > 0.0:
+            keep = _ring_keep_tile(seed, b_global, h, q0 + i * TILE_Q,
+                                   k0, p.shape, rate)
+            p_use = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        else:
+            p_use = p
+        o_new = o_prev * corr + jax.lax.dot_general(
+            p_use, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        oout_ref[0, 0, sl, :] = o_new
+        mout_ref[0, 0, sl, :] = m_new
+        lout_ref[0, 0, sl, :] = l_new
+        return 0
+
+    jax.lax.fori_loop(0, n_q_tiles, tile, 0)
+
+
+def _ring_train_bwd_kernel(q_ref, k_ref, v_ref, g_ref, d_ref, m_ref, l_ref,
+                           mask_ref, info_ref, dqin_ref, dkin_ref, dvin_ref,
+                           dqout_ref, dkout_ref, dvout_ref, *,
+                           n_q_tiles: int, rate: float):
+    """Backward of one ring step, flash-style: recompute the score tile
+    from q32/k and the saved per-row (m, l), regenerate the dropout mask
+    from coordinates, and accumulate
+
+        dv_j += sum_i w~_ij g_i          (w~ = dropped normalized weight)
+        ds_ij = (e_ij/l_i) (keep inv (g_i.v_j) - D_i),  D = rowsum(g*out)
+        dq32_i += ds_ij k_j;   dk_j += ds_ij q32_i
+
+    The (Tq, Nk) tiles live only in VMEM/registers — no score block in HBM.
+    """
+    import jax.numpy as jnp  # local: kernel traced by Mosaic
+
+    k = k_ref[0, 0]                       # (Nk, Dh) f32
+    v = v_ref[0, 0]
+    key_mask = mask_ref[0] != 0           # (1, Nk)
+    seed = info_ref[0, 0]
+    b_global = info_ref[0, 1] + pl.program_id(0)
+    h = pl.program_id(1)
+    q0 = info_ref[0, 2]
+    k0 = info_ref[0, 3]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    dkout_ref[0, 0] = dkin_ref[0, 0]
+    dvout_ref[0, 0] = dvin_ref[0, 0]
+
+    def tile(i, _):
+        sl = pl.ds(i * TILE_Q, TILE_Q)
+        q = q_ref[0, 0, sl, :]                                  # (Tq, Dh)
+        g = g_ref[0, 0, sl, :]
+        m_row = m_ref[0, 0, sl, :]                              # (Tq, 1)
+        l_row = l_ref[0, 0, sl, :]
+        d_row = d_ref[0, 0, sl, :]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (Tq, Nk)
+        dead = m_row < _DEAD
+        m_safe = jnp.where(dead, 0.0, m_row)
+        e = jnp.where(key_mask | dead, 0.0, jnp.exp(s - m_safe))
+        l_safe = jnp.where(l_row == 0.0, 1.0, l_row)
+        w = e / l_safe                                          # (Tq, Nk)
+        if rate > 0.0:
+            keep = _ring_keep_tile(seed, b_global, h, q0 + i * TILE_Q,
+                                   k0, w.shape, rate)
+            kp = jnp.where(keep, jnp.float32(inv), 0.0)
+        else:
+            kp = jnp.float32(1.0)
+        wd = w * kp                                             # dropped w~
+
+        dvout_ref[0, 0] += jax.lax.dot_general(
+            wd, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (Nk, Dh)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (Tq, Nk)
+        ds = w * (kp * dp - d_row)
+        dqout_ref[0, 0, sl, :] = dqin_ref[0, 0, sl, :] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dkout_ref[0, 0] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_q_tiles, tile, 0)
+
+
+def _ring_train_supported(Nq: int, Nk: int, Dh: int) -> bool:
+    """Shapes the fused TRAIN step handles. Bwd VMEM per cell: q/g/dq_in/
+    dq_out (Nq,Dh) + k/v/dk_in/dk_out/dv_in/dv_out (Nk,Dh), all f32, plus
+    two (Tq, Nk) tiles and five (Nq,1) rows."""
+    vmem = ((4 * Nq * Dh + 6 * Nk * Dh) * 4
+            + 3 * TILE_Q * Nk * 4 + 6 * Nq * 4)
+    return (Nq % TILE_Q == 0 and Nk % TILE_Q == 0
+            and vmem <= 12 * 1024 * 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "interpret"))
+def _ring_train_step(q32, kb, vb, mb, info, o, m, l, rate: float,
+                     interpret: bool):
+    """Pallas TRAIN ring step. q32 (B,H,Nq,Dh) f32 pre-scaled; kb/vb f32;
+    mb (B,Nk) bool; info (1,4) int32 [seed, b0, q0, k0]; carries as in the
+    inference step. Returns updated (o, m, l)."""
+    B, H, Nq, Dh = q32.shape
+    Nk = kb.shape[2]
+
+    grid = (B, H)
+    q_spec = pl.BlockSpec((1, 1, Nq, Dh), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, Nk, Dh), lambda b, h: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, Nk), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    carry_spec = pl.BlockSpec((1, 1, Nq, 1), lambda b, h: (b, h, 0, 0),
+                              memory_space=pltpu.VMEM)
+    info_spec = pl.BlockSpec((1, 4), lambda b, h: (0, 0),
+                             memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_ring_train_fwd_kernel,
+                               n_q_tiles=Nq // TILE_Q, rate=rate)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec, info_spec,
+                  q_spec, carry_spec, carry_spec],
+        out_specs=[q_spec, carry_spec, carry_spec],
+        out_shape=[jax.ShapeDtypeStruct(o.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(m.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(l.shape, jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Nq * Nk * Dh,
+            bytes_accessed=(3 * B * H * Nq * Dh + 2 * B * H * Nk * Dh) * 4,
+            transcendentals=B * H * Nq * Nk,
+        ),
+        interpret=interpret,
+    )(q32, kb, vb, mb.astype(jnp.int8)[:, None, :], info, o, m, l)
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "interpret"))
+def _ring_train_step_bwd(q32, kb, vb, g, d, m, l, mb, info, dq, dk, dv,
+                         rate: float, interpret: bool):
+    """Pallas backward ring step: accumulates into (dq, dk, dv)."""
+    B, H, Nq, Dh = q32.shape
+    Nk = kb.shape[2]
+
+    grid = (B, H)
+    q_spec = pl.BlockSpec((1, 1, Nq, Dh), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, Nk, Dh), lambda b, h: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, Nk), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, Nq, 1), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    info_spec = pl.BlockSpec((1, 4), lambda b, h: (0, 0),
+                             memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_ring_train_bwd_kernel,
+                               n_q_tiles=Nq // TILE_Q, rate=rate)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
+                  row_spec, mask_spec, info_spec, q_spec, kv_spec, kv_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        out_shape=[jax.ShapeDtypeStruct(dq.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(dk.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(dv.shape, jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * Nq * Nk * Dh,
+            bytes_accessed=(7 * B * H * Nq * Dh + 6 * B * H * Nk * Dh) * 4,
+            transcendentals=B * H * Nq * Nk,
+        ),
+        interpret=interpret,
+    )(q32, kb, vb, g, d, m, l, mb.astype(jnp.int8)[:, None, :], info,
+      dq, dk, dv)
+
+
+def _ring_train_forward_scan(scale, axis_name, rate, interpret,
+                             q, k, v, pad_mask, seed, b0):
+    """Forward ring with the fused train step. Returns (out, m, l) with
+    ``out`` normalized in q.dtype and (m, l) the per-row online-softmax
+    stats the backward needs."""
+    n_shards = jax.lax.axis_size(axis_name)
+    B, H, Nl, Dh = q.shape
+    s_idx = jax.lax.axis_index(axis_name)
+    q0 = s_idx * Nl
+    q32 = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def step(carry, t):
+        o, m, l, kb, vb, mb = carry
+        k0 = ((s_idx - t) % n_shards) * Nl
+        info = jnp.stack([jnp.asarray(seed, jnp.int32),
+                          jnp.asarray(b0, jnp.int32),
+                          q0.astype(jnp.int32),
+                          k0.astype(jnp.int32)]).reshape(1, 4)
+        o, m, l = _ring_train_step(q32, kb, vb, mb, info, o, m, l,
+                                   rate=rate, interpret=interpret)
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        mb = jax.lax.ppermute(mb, axis_name, perm)
+        return (o, m, l, kb, vb, mb), None
+
+    o0 = q32 * 0.0
+    m0 = o0.sum(-1, keepdims=True) + neg_inf
+    l0 = o0.sum(-1, keepdims=True)
+    (o, m, l, _, _, _), _ = jax.lax.scan(
+        step, (o0, m0, l0, kf, vf, pad_mask), jnp.arange(n_shards))
+    return _normalize(o, l, q.dtype), m, l
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _ring_fused_train(scale, axis_name, rate, interpret,
+                      q, k, v, pad_mask, seed, b0):
+    out, _, _ = _ring_train_forward_scan(scale, axis_name, rate, interpret,
+                                         q, k, v, pad_mask, seed, b0)
+    return out
+
+
+def _ring_fused_train_fwd(scale, axis_name, rate, interpret,
+                          q, k, v, pad_mask, seed, b0):
+    out, m, l = _ring_train_forward_scan(scale, axis_name, rate, interpret,
+                                         q, k, v, pad_mask, seed, b0)
+    return out, (q, k, v, pad_mask, seed, b0, out, m, l)
+
+
+def _ring_fused_train_bwd(scale, axis_name, rate, interpret, res, g):
+    q, k, v, pad_mask, seed, b0, out, m, l = res
+    n_shards = jax.lax.axis_size(axis_name)
+    B, H, Nl, Dh = q.shape
+    s_idx = jax.lax.axis_index(axis_name)
+    q0 = s_idx * Nl
+    q32 = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    # normalization folded into the weights: g here is d/d(out_normalized);
+    # the kernel works with w~ = e*keep*inv/l directly, so l carries the
+    # normalization and D = rowsum(g * out) (out already normalized)
+    d_row = jnp.sum(g32 * out.astype(jnp.float32), axis=-1, keepdims=True)
+
+    def step(carry, t):
+        dq, kb, vb, mb, dkb, dvb = carry
+        k0 = ((s_idx - t) % n_shards) * Nl
+        info = jnp.stack([jnp.asarray(seed, jnp.int32),
+                          jnp.asarray(b0, jnp.int32),
+                          q0.astype(jnp.int32),
+                          k0.astype(jnp.int32)]).reshape(1, 4)
+        dq, dkb, dvb = _ring_train_step_bwd(
+            q32, kb, vb, g32, d_row, m, l, mb, info, dq, dkb, dvb,
+            rate=rate, interpret=interpret)
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        mb = jax.lax.ppermute(mb, axis_name, perm)
+        dkb = jax.lax.ppermute(dkb, axis_name, perm)
+        dvb = jax.lax.ppermute(dvb, axis_name, perm)
+        return (dq, kb, vb, mb, dkb, dvb), None
+
+    zero_q = q32 * 0.0
+    zero_kv = kf * 0.0
+    (dq, _, _, _, dk, dv), _ = jax.lax.scan(
+        step, (zero_q, kf, vf, pad_mask, zero_kv, zero_kv),
+        jnp.arange(n_shards))
+    # after n_shards rotations every (dkb, dvb) block is back at its owner
+    dq = (dq * jnp.float32(scale)).astype(q.dtype)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None, None, None
+
+
+_ring_fused_train.defvjp(_ring_fused_train_fwd, _ring_fused_train_bwd)

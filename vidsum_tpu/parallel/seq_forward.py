@@ -72,7 +72,8 @@ def make_seq_sharded_finetune_step(cfg: ModelConfig,
                                    optimizer: optax.GradientTransformation,
                                    mesh: Mesh,
                                    seq_axis: str = "seq",
-                                   data_axis: str = "data"):
+                                   data_axis: str = "data",
+                                   block_impl: str = "auto"):
     """Sequence-parallel TRAINING: jitted ``step(params, opt_state, x,
     target, pad_mask, rng) -> (params, opt_state, loss)`` with the batch
     over ``data`` and the sequence over ``seq`` — masked-MSE finetuning of
@@ -81,8 +82,12 @@ def make_seq_sharded_finetune_step(cfg: ModelConfig,
     Design (greenfield, no reference analogue — the reference trains dense
     single-GPU attention, ``src/model/simnet.py:148-163``):
 
-    - attention is :func:`ring_attention_train` (exact online-softmax ring
-      with per-step ``jax.checkpoint``: activation memory O(N/P·D));
+    - attention is :func:`ring_attention_train`. ``block_impl='pallas'``
+      (auto on TPU, supported shapes) runs the custom-VJP fused ring: both
+      the forward and the flash-style backward are per-step Pallas kernels,
+      so the (Nl, Nl) score block never touches HBM in training either;
+      ``'xla'`` is the einsum ring with per-step ``jax.checkpoint``. Both
+      keep activation memory O(N/P·D);
     - ALL dropout sites draw coordinate-absolute hash masks (attention
       weights inside the ring; res1/mlp/res2 via ``dropout_masks`` +
       :func:`hash_keep3d`), so the realized masks — and therefore the loss
@@ -133,7 +138,8 @@ def make_seq_sharded_finetune_step(cfg: ModelConfig,
                 calls[0] += 1
                 return ring_attention_train(q, k, v, pm, cfg.attn_scale,
                                             seq_axis, seeds[li],
-                                            cfg.dropout, b0=b0)
+                                            cfg.dropout, b0=b0,
+                                            block_impl=block_impl)
 
             masks = [{
                 "attn": None,  # handled inside the ring
