@@ -34,6 +34,15 @@ def main() -> None:
                    help="augmented protocol: train on a 4-dataset mix "
                         "(tvsum+summe+ovp+youtube synthetic h5s), eval on "
                         "the experiment dataset — the *_aug.yaml recipe")
+    p.add_argument("--two_stage", action="store_true",
+                   help="the reference's full workflow at protocol length "
+                        "(run_pretrain.sh -> run_finetune.sh --use_model): "
+                        "pretrain the encoder, warm-start the 5-fold "
+                        "finetune from pretrain.ckpt, AND run a cold-start "
+                        "finetune on identical folds for comparison")
+    p.add_argument("--pretrain_epochs", type=int, default=200)
+    p.add_argument("--pretrain_videos", type=int, default=512)
+    p.add_argument("--pretrain_batch", type=int, default=256)
     p.add_argument("--out", default=None)
     args = p.parse_args()
     logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
@@ -77,21 +86,72 @@ def main() -> None:
     )
 
     workdir = tempfile.mkdtemp(prefix="soak_work_")
+    out = {
+        "folds": args.folds,
+        "epochs": args.epochs,
+        "state_save_every": args.state_save_every,
+        "model_save_every": args.model_save_every,
+        "aug": args.aug,
+        "two_stage": args.two_stage,
+    }
+
+    if args.two_stage:
+        # stage 1: run_pretrain.sh recipe (d256/h4/L4, dropout .2, bs 256,
+        # cosine-warmup with the 13000-sample scheduler quirk) on a
+        # synthetic frames/video npy tree; encoder -> workdir/pretrain.ckpt
+        from vidsum_tpu.config import PretrainConfig
+        from vidsum_tpu.data.datasets import PreTrainDataset
+        from vidsum_tpu.data.synthetic import make_synthetic_pretrain_tree
+        from vidsum_tpu.train.pretraining import pretrain
+
+        pt_root = tempfile.mkdtemp(prefix="soak_pretrain_")
+        make_synthetic_pretrain_tree(pt_root,
+                                     n_videos=args.pretrain_videos, seed=1)
+        pt_cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, dropout=0.2),
+            pretrain=PretrainConfig(epochs=args.pretrain_epochs,
+                                    batch_size=args.pretrain_batch),
+        )
+        t0 = time.time()
+        pt_result = pretrain(pt_cfg, PreTrainDataset(pt_root),
+                             workdir=workdir)
+        out["pretrain_min"] = round((time.time() - t0) / 60, 2)
+        out["pretrain_epochs"] = args.pretrain_epochs
+        out["pretrain_videos"] = args.pretrain_videos
+        hist = pt_result["history"]
+        out["pretrain_loss_first"] = hist[0] if hist else None
+        out["pretrain_loss_last"] = hist[-1] if hist else None
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, use_pretrained=True))
+
     t0 = time.time()
     result = finetune(cfg, folds, workdir=workdir, export_summary=False)
     wall = time.time() - t0
-    out = {
+    out.update({
         "wall_min": round(wall / 60, 2),
-        "folds": args.folds,
-        "epochs": args.epochs,
         "fscore": result.fscore,
         "kendall_tau": result.kendall_tau,
         "spearman_rho": result.spearman_rho,
         "per_split": result.per_split,
-        "state_save_every": args.state_save_every,
-        "model_save_every": args.model_save_every,
-        "aug": args.aug,
-    }
+    })
+
+    if args.two_stage:
+        # cold-start comparison on identical folds/seed (the reference's
+        # run_finetune.sh WITHOUT --use_model)
+        cold_cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, use_pretrained=False))
+        cold_dir = tempfile.mkdtemp(prefix="soak_cold_")
+        t0 = time.time()
+        cold = finetune(cold_cfg, folds, workdir=cold_dir,
+                        export_summary=False)
+        out["cold"] = {
+            "wall_min": round((time.time() - t0) / 60, 2),
+            "fscore": cold.fscore,
+            "kendall_tau": cold.kendall_tau,
+            "spearman_rho": cold.spearman_rho,
+            "per_split": cold.per_split,
+        }
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:
