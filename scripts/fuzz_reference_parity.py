@@ -92,6 +92,17 @@ def main():
             dev = dev_summary([cp], [scores], [n_frames], [picks])[0]
             if not np.array_equal(dev, ref):
                 mism["device_eval"] += 1
+            if checked["device_eval"] % 400 == 0:
+                # one compiled program per (picks, frames, shots, width)
+                # bucket: 10k randomized videos hit hundreds of buckets and
+                # the caches eventually OOM the LLVM JIT — drop them
+                import jax
+
+                from vidsum_tpu.ops import device_eval as _de
+
+                _de._make_kernel.cache_clear()
+                _de._make_batched_kernel.cache_clear()
+                jax.clear_caches()
 
     for i in range(args.n // 2):
         n = int(rng.integers(1, 30))

@@ -324,6 +324,61 @@ def main() -> None:
     check("pallas ring-step kernel == flash on chip", rdiff < 5e-3,
           f"max diff {rdiff:.2e} at N={Nr}")
 
+    # fused TRAIN ring (custom VJP, VERDICT r1 #3) vs the XLA ring at
+    # stretch length on real Mosaic: forward, dq/dk/dv, and step timing.
+    from vidsum_tpu.parallel.ring_attention import ring_attention_train
+    from jax.sharding import PartitionSpec as _P
+
+    def ring_train(impl, rate):
+        def local(q, k, v, pm):
+            return ring_attention_train(q, k, v, pm, 0.125, "seq",
+                                        jnp.int32(1234), rate, b0=0,
+                                        block_impl=impl)
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh_s,
+            in_specs=(_P(None, None, "seq", None),) * 3 + (_P(None, "seq"),),
+            out_specs=_P(None, None, "seq", None), check_vma=False))
+
+    wr = jnp.asarray(rng_r.normal(size=qr.shape), jnp.float32)
+    for rate in (0.0, 0.3):
+        def lossf(impl):
+            f = ring_train(impl, rate)
+            return lambda q, k, v: jnp.sum(f(q, k, v, mr) * wr)
+        ox = np.asarray(ring_train("xla", rate)(qr, kr, vr, mr))
+        op = np.asarray(ring_train("pallas", rate)(qr, kr, vr, mr))
+        fdiff = np.abs(op - ox).max()
+        check(f"fused train ring fwd rate={rate}", fdiff < 5e-3,
+              f"max diff {fdiff:.2e} at N={Nr}")
+        gx = jax.grad(lossf("xla"), argnums=(0, 1, 2))(qr, kr, vr)
+        gp = jax.grad(lossf("pallas"), argnums=(0, 1, 2))(qr, kr, vr)
+        worst = 0.0
+        for a, b in zip(gp, gx):
+            scale_ref = float(jnp.abs(b).max())
+            worst = max(worst, float(jnp.abs(a - b).max()) / max(scale_ref,
+                                                                 1e-6))
+        # the XLA comparison path itself rounds through the MXU's
+        # multi-pass-bf16 f32 matmuls; observed worst 3.9e-3 (rate 0) /
+        # 6.4e-3 (rate 0.3, the 1/(1-rate) scale amplifies) — same class
+        # as the fused-block bf16 grad tolerances above
+        check(f"fused train ring grads rate={rate}", worst < 2e-2,
+              f"worst rel {worst:.2e}")
+
+    # timing: grad of sum(out*w) through each ring impl at N=2560
+    import time as _t
+    for impl in ("xla", "pallas"):
+        f = jax.jit(jax.grad(
+            (lambda fn: lambda q, k, v: jnp.sum(fn(q, k, v, mr) * wr))(
+                ring_train(impl, 0.3)), argnums=(0, 1, 2)))
+        jax.block_until_ready(f(qr, kr, vr))  # compile
+        reps = 5
+        t0 = _t.perf_counter()
+        for _ in range(reps):
+            out = f(qr, kr, vr)
+        np.asarray(out[0])
+        dt = (_t.perf_counter() - t0) / reps
+        print(f"[timing] ring-train fwd+bwd {impl}: {dt*1e3:.1f} ms "
+              f"(B=2 H=4 N={Nr}, rate 0.3, incl. dispatch)")
+
     print("ALL ON-CHIP VALIDATIONS PASSED")
 
 
