@@ -43,6 +43,10 @@ def main() -> None:
     p.add_argument("--pretrain_epochs", type=int, default=200)
     p.add_argument("--pretrain_videos", type=int, default=512)
     p.add_argument("--pretrain_batch", type=int, default=256)
+    p.add_argument("--pretrain_save_every", type=int, default=5,
+                   help="encoder-checkpoint cadence (protocol-identical at "
+                        "any value; the per-epoch fetch dominates synthetic "
+                        "epochs through the relay)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
     logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
@@ -111,7 +115,8 @@ def main() -> None:
             cfg,
             model=dataclasses.replace(cfg.model, dropout=0.2),
             pretrain=PretrainConfig(epochs=args.pretrain_epochs,
-                                    batch_size=args.pretrain_batch),
+                                    batch_size=args.pretrain_batch,
+                                    save_every=args.pretrain_save_every),
         )
         t0 = time.time()
         pt_result = pretrain(pt_cfg, PreTrainDataset(pt_root),

@@ -161,6 +161,12 @@ class PretrainConfig:
     # quirk: reference optimizes only model.encoder params; video_transform is
     # frozen at init (pretrain.py:35-36). Reproduced when True.
     freeze_video_transform: bool = True
+    # encoder-checkpoint cadence. The reference saves every epoch
+    # (pretrain.py:46) = 1; no intermediate file is ever read back, so any
+    # cadence is protocol-identical (the final epoch always saves). Through
+    # the single-client relay the per-epoch ~14 MB encoder fetch dominates
+    # a synthetic epoch ~8:1 — cadence 5 cuts the soak's pretrain stage ~5x.
+    save_every: int = 1
     seed: int = 1234
     rng_impl: str = "rbg"  # see TrainConfig.rng_impl
 

@@ -94,17 +94,21 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
                 logger.info("Epoch %3d step %d: loss %.5f (main %.5f "
                             "center %.5f repel %.5f)", epoch, i + 1, total,
                             main, center, repel)
-        # start the encoder's device->host copy now: the relay transfer
-        # streams while the loss fetch below waits for the epoch's steps
-        start_host_copy(params["encoder"])
+        save_now = ((epoch + 1) % max(pcfg.save_every, 1) == 0
+                    or epoch == pcfg.epochs - 1)
+        if save_now:
+            # start the encoder's device->host copy now: the relay transfer
+            # streams while the loss fetch below waits for the epoch's steps
+            start_host_copy(params["encoder"])
         if step_records:
             for total in np.asarray(jnp.stack(step_records))[:, 0]:
                 epoch_loss.update(float(total), 1)
             history.append(epoch_loss.avg())
             logger.info("Total Loss %f", epoch_loss.avg())
-        # weight-only encoder checkpoint for the finetune warm start;
-        # fetch on this thread (the sync point), write on the ckpt thread
-        ckpt.save(ckpt_path, jax.device_get(params["encoder"]),
-                  meta={"epoch": epoch})
+        if save_now:
+            # weight-only encoder checkpoint for the finetune warm start;
+            # fetch on this thread (the sync point), write on the ckpt thread
+            ckpt.save(ckpt_path, jax.device_get(params["encoder"]),
+                      meta={"epoch": epoch})
     ckpt.flush()
     return {"params": params, "history": history}
