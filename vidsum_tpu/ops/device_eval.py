@@ -72,8 +72,37 @@ def _kernel_fn(P: int, F: int, S: int, W: int):
         lengths = jnp.where(shot_valid, ends - starts + 1, 0)
         sum_h, _ = df_sub(ch[ends + 1], cl[ends + 1],
                           ch[starts], cl[starts])
+        # Shots of <=128 frames (virtually every real KTS shot): replicate
+        # numpy's float32 summation BIT-EXACTLY — the host oracle's shot
+        # value is float32 ``.mean()`` (generate_summary.py:42), which for
+        # n<8 sums sequentially and for 8<=n<=128 runs an 8-accumulator
+        # unrolled loop over the full blocks, a fixed combine tree, then a
+        # sequential tail (verified against np.sum for every n<=128;
+        # recursion starts at 129). Adding exact 0.0 for masked positions
+        # leaves every partial sum's rounding unchanged, so one uniform
+        # masked construction covers all n. The df32 round-once sum stays
+        # for longer shots, where cross-scheme ties require constant
+        # regions both schemes round identically anyway.
+        k_idx = jnp.arange(128)
+        gather = jnp.clip(starts[:, None] + k_idx[None, :], 0, F - 1)
+        vals = jnp.where(k_idx[None, :] < lengths[:, None],
+                         frame_scores[gather], 0.0)          # (S, 128)
+        m_full = lengths - lengths % 8                       # (S,)
+        blocks = vals.reshape(-1, 16, 8)
+        r = jnp.zeros((vals.shape[0], 8), jnp.float32)
+        for b in range(16):
+            r = r + jnp.where((8 * b < m_full)[:, None], blocks[:, b, :],
+                              0.0)
+        tree = (((r[:, 0] + r[:, 1]) + (r[:, 2] + r[:, 3]))
+                + ((r[:, 4] + r[:, 5]) + (r[:, 6] + r[:, 7])))
+        np_sum = tree
+        for p in range(8):
+            pos = jnp.clip(m_full + p, 0, 127)
+            tail_v = jnp.take_along_axis(vals, pos[:, None], axis=1)[:, 0]
+            np_sum = np_sum + jnp.where(m_full + p < lengths, tail_v, 0.0)
+        sum_best = jnp.where(lengths <= 128, np_sum, sum_h)
         values = jnp.where(shot_valid,
-                           sum_h / jnp.maximum(lengths, 1).astype(jnp.float32),
+                           sum_best / jnp.maximum(lengths, 1).astype(jnp.float32),
                            0.0)
 
         # --- 0/1 knapsack DP (knapsack_implementation.py:1-30): static
