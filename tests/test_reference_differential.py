@@ -354,3 +354,69 @@ def test_golden_files_are_reference_derived():
         np.asarray([f, k, s], dtype=np.float64),
         np.asarray([want["fscore"], want["kendall_tau"],
                     want["spearman_rho"]], dtype=np.float64))
+
+
+# ---------------------------------------------------------------------------
+# legacy h5-direct f1_score + the export layer's duplicate gather logic
+
+
+def test_legacy_f1_score_matches_reference(tmp_path):
+    """``compute_fscores.f1_score`` (the commented-out legacy path) vs
+    ``ops/legacy_eval.f1_score`` on the same eccv16-named h5."""
+    from types import SimpleNamespace
+
+    from src.evaluation.compute_fscores import f1_score as ref_f1
+    from vidsum_tpu.data.synthetic import make_synthetic_h5
+    from vidsum_tpu.ops.legacy_eval import f1_score as our_f1
+
+    root = str(tmp_path)
+    make_synthetic_h5(os.path.join(
+        root, "eccv16_dataset_tvsum_google_pool5.h5"), n_videos=5, seed=3)
+
+    import h5py
+    rng = np.random.default_rng(1)
+    score_dict = {}
+    with h5py.File(os.path.join(
+            root, "eccv16_dataset_tvsum_google_pool5.h5")) as f:
+        for name in f:
+            n = f[name]["features"].shape[0]
+            score_dict[name] = rng.random(n).astype(np.float32)
+
+    for method in ("avg", "max"):
+        ours = our_f1(score_dict, root, "tvsum", eval_method=method)
+        ref = ref_f1(score_dict, SimpleNamespace(data=root, dataset="tvsum",
+                                                 eval=method))
+        np.testing.assert_equal(np.float64(ours), np.float64(ref),
+                                err_msg=method)
+
+
+def test_export_gather_matches_reference_duplicate_path():
+    """``generate_summary_image.generate_summary`` — the reference's
+    duplicated dict-driven gather (``:91-120``) — must produce the same
+    binary summaries as our export path's generate_summary for the same
+    score/user dicts."""
+    src_path = os.path.join(REF_ROOT, "src")
+    if src_path not in sys.path:
+        sys.path.append(src_path)  # module uses absolute sibling imports
+    try:
+        from generate_summary_image import generate_summary as ref_export_gm
+    except ImportError as e:
+        pytest.skip(f"reference export module unimportable: {e}")
+
+    rng = np.random.default_rng(8)
+    score_dict, user_dict = {}, {}
+    for v in range(6):
+        picks, n_frames, scores, cp = _random_video(rng, "plain")
+        us, uscores = _user_package(rng, n_frames)
+        name = f"video_{v}"
+        score_dict[name] = scores
+        user_dict[name] = UserSummaries(us, uscores, cp, n_frames, picks,
+                                        name)
+    ref_summaries = ref_export_gm(score_dict, user_dict)
+    users = [user_dict[k] for k in score_dict]
+    ours = our_generate_summary([u.change_points for u in users],
+                                list(score_dict.values()),
+                                [u.n_frames for u in users],
+                                [u.picks for u in users])
+    for i, (a, b) in enumerate(zip(ours, ref_summaries)):
+        np.testing.assert_array_equal(a, b, err_msg=f"video {i}")
