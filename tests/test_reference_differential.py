@@ -447,8 +447,10 @@ def test_scheduler_realized_lr_sequence_matches_reference():
         realized_ref.append(opt.param_groups[0]["lr"])
         sched.update()
         realized_ours.append(float(ours(step)))
-    # the off-by-one head must match exactly: raw base lr, then 0
-    assert realized_ref[0] == base_lr and realized_ours[0] == base_lr
+    # the off-by-one head must match: raw base lr (f32-rounded on our
+    # side), then exactly 0
+    assert realized_ref[0] == base_lr
+    assert realized_ours[0] == np.float32(base_lr)
     assert realized_ref[1] == 0.0 and realized_ours[1] == 0.0
     # our schedule evaluates in f32 on device; the reference computes in
     # python float64 — worst observed rel diff 4.4e-4 (pure rounding)
