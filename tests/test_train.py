@@ -392,3 +392,39 @@ def test_resume_is_exact(data_root, tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(a),
                     jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pretrain_resume_is_exact(tmp_path):
+    """Pretrain full-state resume (round 2): 2 epochs + resume for 2 more
+    produce bit-identical params to an uninterrupted 4-epoch run
+    (per-epoch RNG streams; optimizer moments restored)."""
+    root = str(tmp_path / "ptr")
+    make_synthetic_pretrain_tree(root, n_videos=6, min_frames=30,
+                                 max_frames=60, seed=14)
+
+    def cfg_for(epochs):
+        return Config(
+            model=TINY_MODEL,
+            data=DataConfig(root=root, length_bucket=64),
+            pretrain=PretrainConfig(lr=1e-3, batch_size=2, epochs=epochs,
+                                    warmup_epochs=1, scheduler_samples=12),
+        )
+
+    dataset = PreTrainDataset(root)
+    d_straight = str(tmp_path / "straight"); os.makedirs(d_straight)
+    d_resumed = str(tmp_path / "resumed"); os.makedirs(d_resumed)
+
+    out4 = pretrain(cfg_for(4), dataset, workdir=d_straight)
+    pretrain(cfg_for(2), dataset, workdir=d_resumed)
+    out_r = pretrain(cfg_for(4), dataset, workdir=d_resumed, resume=True)
+
+    assert len(out_r["history"]) == 4
+    np.testing.assert_allclose(out_r["history"], out4["history"],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out4["params"]),
+                    jax.tree_util.tree_leaves(out_r["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume ignored when no state exists
+    d_fresh = str(tmp_path / "fresh"); os.makedirs(d_fresh)
+    out_f = pretrain(cfg_for(2), dataset, workdir=d_fresh, resume=True)
+    assert len(out_f["history"]) == 2

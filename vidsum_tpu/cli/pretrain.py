@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--length_bucket", type=int, default=128)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--resume", action="store_true",
+                   help="restart from pretrain_state.ckpt in --save (full "
+                        "state; exact replay — no reference analogue, "
+                        "pretrain.pth is weight-only)")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="checkpoint cadence (1 = reference-faithful)")
     p.add_argument("--debug_nans", action="store_true",
                    help="raise on the first NaN the compiler sees "
                         "(jax debug_nans; the jit-purity analogue of "
@@ -70,13 +76,14 @@ def main(argv=None) -> None:
                         length_bucket=args.length_bucket),
         pretrain=PretrainConfig(lr=args.lr, weight_decay=args.weight_decay,
                                 batch_size=args.batch_size,
-                                epochs=args.epochs),
+                                epochs=args.epochs,
+                                save_every=args.save_every),
     )
     if args.from_h5:
         dataset = PreTrainDatasetReady(args.data, args.datasets)
     else:
         dataset = PreTrainDataset(args.data)
-    pretrain(cfg, dataset, workdir=args.save)
+    pretrain(cfg, dataset, workdir=args.save, resume=args.resume)
 
 
 if __name__ == "__main__":

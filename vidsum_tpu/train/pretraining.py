@@ -29,11 +29,18 @@ logger = logging.getLogger(__name__)
 
 
 def pretrain(cfg: Config, dataset, workdir: str = ".",
-             log_every: int = 4, mesh=None) -> dict:
+             log_every: int = 4, mesh=None, resume: bool = False) -> dict:
     """Run pretraining over ``dataset`` (any indexable of
     ``(frame_features, video_rep)`` pairs). Returns the final param pytree;
     the encoder subtree is checkpointed each epoch like pretrain.py:46.
-    With ``mesh``, the step runs dp×tp over it."""
+    With ``mesh``, the step runs dp×tp over it.
+
+    ``resume=True`` restarts from ``pretrain_state.ckpt`` (full state:
+    params + optimizer moments + epoch + loss history — the reference can
+    only warm-start weights, pretrain.py:46). Shuffle and dropout streams
+    are derived per epoch by folding the epoch into the seed, so a resumed
+    run replays the exact bits of an uninterrupted one (same design as
+    train/finetune.py)."""
     pcfg = cfg.pretrain
     steps_per_epoch = max(pcfg.scheduler_samples // pcfg.batch_size, 1)
     schedule = reference_pretrain_schedule(pcfg.lr, steps_per_epoch,
@@ -57,9 +64,8 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
 
     # init on the default PRNG (stable across rng_impl); dropout stream on
     # the configured implementation (rbg is ~1.7x faster on TPU)
-    rng_np = np.random.default_rng(pcfg.seed)
     _, init_key = jax.random.split(jax.random.PRNGKey(pcfg.seed))
-    rng_jax = jax.random.key(pcfg.seed, impl=pcfg.rng_impl)
+    rng_base = jax.random.key(pcfg.seed, impl=pcfg.rng_impl)
     params = init_pretrain_model(init_key, cfg.model)
     if sharded_init is not None:
         params, opt_state = sharded_init(params)
@@ -69,11 +75,27 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
     logger.info("number of model parameters: %d", count_params(params))
 
     ckpt_path = os.path.join(workdir, cfg.train.pretrain_ckpt)
+    state_path = os.path.join(workdir, "pretrain_state.ckpt")
     ckpt = AsyncCheckpointer()
     history = []
-    for epoch in range(pcfg.epochs):
+    start_epoch = 0
+    if resume and os.path.exists(state_path + ".meta.json"):
+        import json
+
+        from vidsum_tpu.train.checkpoint import load_checkpoint
+
+        state = {"params": params, "opt_state": opt_state}
+        state, meta = load_checkpoint(state_path, state)
+        params, opt_state = state["params"], state["opt_state"]
+        history = list(meta["history"])
+        start_epoch = meta["epoch"] + 1
+        logger.info("resuming pretrain from epoch %d", start_epoch)
+    for epoch in range(start_epoch, pcfg.epochs):
         epoch_loss = AverageMeter()
         step_records = []
+        # per-epoch streams → exact replay under resume
+        rng_np = np.random.default_rng((pcfg.seed, epoch))
+        rng_jax = jax.random.fold_in(rng_base, epoch)
         for i, batch_idx in enumerate(make_batches(
                 len(dataset), pcfg.batch_size, shuffle=True, rng=rng_np,
                 drop_last=True)):
@@ -97,9 +119,10 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
         save_now = ((epoch + 1) % max(pcfg.save_every, 1) == 0
                     or epoch == pcfg.epochs - 1)
         if save_now:
-            # start the encoder's device->host copy now: the relay transfer
-            # streams while the loss fetch below waits for the epoch's steps
-            start_host_copy(params["encoder"])
+            # start the device->host copies now: the relay transfer streams
+            # while the loss fetch below waits for the epoch's steps
+            start_host_copy(params)
+            start_host_copy(opt_state)
         if step_records:
             for total in np.asarray(jnp.stack(step_records))[:, 0]:
                 epoch_loss.update(float(total), 1)
@@ -108,7 +131,14 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
         if save_now:
             # weight-only encoder checkpoint for the finetune warm start;
             # fetch on this thread (the sync point), write on the ckpt thread
-            ckpt.save(ckpt_path, jax.device_get(params["encoder"]),
+            host_params = jax.device_get(params)
+            ckpt.save(ckpt_path, host_params["encoder"],
                       meta={"epoch": epoch})
+            # full-state resume checkpoint (snapshot history: the writer
+            # runs on the background thread)
+            ckpt.save(state_path,
+                      {"params": host_params,
+                       "opt_state": jax.device_get(opt_state)},
+                      meta={"epoch": epoch, "history": list(history)})
     ckpt.flush()
     return {"params": params, "history": history}
