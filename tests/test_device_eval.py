@@ -141,3 +141,18 @@ def test_df32_primitives():
     f32_err = np.abs(np.cumsum(x) - ref).max()
     df_err = np.abs(got - ref).max()
     assert df_err < f32_err / 1e4
+
+
+def test_regression_value_rounding_tie_video():
+    """The single mismatch from the first 10k-video fuzz (video 9216,
+    seed 0): a shot whose numpy-float32 .mean() double-rounds differently
+    than a round-once sum, flipping a knapsack near-tie. Pinned here; the
+    kernel's numpy-replica summation (bit-exact for shots <=128 frames)
+    must keep selecting the host oracle's shots."""
+    d = np.load(os.path.join(os.path.dirname(__file__), "data",
+                             "device_eval_tie_video.npz"))
+    picks, n_frames = d["picks"], int(d["n_frames"])
+    scores, cp = d["scores"], d["cp"]
+    host = generate_summary([cp], [scores], [n_frames], [picks])[0]
+    dev = device_generate_summary([cp], [scores], [n_frames], [picks])[0]
+    np.testing.assert_array_equal(dev, host)
