@@ -214,6 +214,8 @@ def _ring_block_step(q32, kb, vb, mb, o, m, l, interpret: bool):
             bytes_accessed=(3 * B * H * Nq * Dh + 2 * B * H * Nk * Dh) * 4,
             transcendentals=B * H * Nq * Nk,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q32, kb, vb, mb.astype(jnp.int8)[:, None, :], o, m, l)
 
@@ -581,6 +583,8 @@ def _ring_train_step(q32, kb, vb, mb, info, o, m, l, rate: float,
             bytes_accessed=(3 * B * H * Nq * Dh + 2 * B * H * Nk * Dh) * 4,
             transcendentals=B * H * Nq * Nk,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q32, kb, vb, mb.astype(jnp.int8)[:, None, :], info, o, m, l)
 
@@ -620,6 +624,8 @@ def _ring_train_step_bwd(q32, kb, vb, g, d, m, l, mb, info, dq, dk, dv,
             bytes_accessed=(7 * B * H * Nq * Dh + 6 * B * H * Nk * Dh) * 4,
             transcendentals=B * H * Nq * Nk,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(q32, kb, vb, g, d, m, l, mb.astype(jnp.int8)[:, None, :], info,
       dq, dk, dv)
