@@ -9,18 +9,22 @@ importance (f32 cumulative sums), the 0/1-knapsack DP over shots
 (:func:`vidsum_tpu.ops.knapsack.knapsack_jax` semantics with a *dynamic*
 budget inside a static table width), and the binary frame summary.
 
-Parity contract (honest): the HOST pipeline (``ops/summary.py`` + float64
+Parity contract: the HOST pipeline (``ops/summary.py`` + float64
 NumPy/C++ DP) is the bit-parity oracle used for reported metrics. This
-device path reproduces its selected shots exactly on every fixture we test
-(see tests/test_device_eval.py, including the golden file), but its shot
-means are sequential-f32 reductions rather than NumPy's pairwise-f32
-``.mean()`` and its DP compares f32 rather than float64 sums, so an
-adversarial near-tie (two shot subsets whose values agree to ~2^-24
-relative) could in principle select differently. Use it for in-training
-monitoring and single-fetch eval loops; final numbers come from the host
-path. The budget is computed host-side in float64 (``int((end+1)*ratio)``,
-reference generate_summary.py:46) and passed in, so the one genuinely
-float64-sensitive rounding matches by construction.
+device path is tie-hardened to match it (VERDICT r1 #6): shot values
+replicate numpy's float32 summation order BIT-EXACTLY for shots <=128
+frames (virtually every real KTS shot) and use double-float (two-f32)
+round-once sums beyond; the knapsack DP accumulates double-float value
+sums (``ops/df32``), collapsing the f32-comparison tie window to
+~2^-48 relative. Measured record (scripts/fuzz_reference_parity.py
+--device-eval, PARITY.md): **6,667 randomized DSNet-shaped videos, zero
+selected-shot mismatches** vs the host oracle (the pre-hardening f32 DP
+showed 41/667; df32 alone 1/6,667 — a value-rounding tie now pinned as
+tests/data/device_eval_tie_video.npz). The budget is computed host-side
+in float64 (``int((end+1)*ratio)``, reference generate_summary.py:46)
+and passed in, so the one genuinely float64-sensitive rounding matches
+by construction. Final reported numbers still come from the host path;
+use this for in-training monitoring and single-fetch eval loops.
 """
 
 from __future__ import annotations
