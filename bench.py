@@ -15,10 +15,13 @@ batches. Extra fields in the same JSON line (VERDICT r1 item 7):
   bf16 peak (v5e: 197 TFLOP/s; override with VIDSUM_TPU_PEAK_TFLOPS).
 
 Methodology: K iterations linked by a data dependency inside one jitted
-``lax.scan`` program, synced by a single host fetch. This defeats two
-artifacts of the experimental axon runtime: ``block_until_ready`` returning
-before execution finishes and a fixed ~35 ms host-fetch RPC (measured on a
-trivial program and subtracted).
+program, dispatched m times back-to-back with ONE host fetch at the end;
+per-iteration time is the rank-paired difference between m=1 and m=3
+samples (see ``vidsum_tpu/utils/chain_timing.py``). This defeats the
+experimental axon runtime's artifacts: ``block_until_ready`` returns
+before execution finishes, and every fetch pays a relay RPC with ~±10 ms
+jitter that a subtract-one-estimate scheme cannot remove — all constant
+overhead cancels in the difference instead.
 
 Prints ONE JSON line. Runs on whatever backend JAX selects (the real TPU
 under the driver; do not override JAX_PLATFORMS here).
@@ -164,41 +167,60 @@ def main() -> None:
                 raise
             time.sleep(60)
 
-    t0 = time.perf_counter()
-    np.asarray(trivial(jnp.zeros((4,))))
-    rpc = time.perf_counter() - t0
+    def diff_samples(dispatch, n=5, m2=3):
+        """Per-chain seconds by m-call differencing: ``dispatch()`` enqueues
+        one chain and returns a (small) device handle; a sample times m
+        back-to-back dispatches synced by ONE fetch of the last handle.
+        The rank-paired (m=3 - m=1)/2 differences cancel dispatch + fetch
+        RPC + relay jitter bias (VERDICT r1 #2: best/median/spread, and no
+        fragile RPC estimate)."""
+        def sample(m):
+            out = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                h = None
+                for _ in range(m):
+                    h = dispatch()
+                np.asarray(h)
+                out.append(time.perf_counter() - t0)
+            return sorted(out)
 
-    def samples_of(fn, n=5):
-        """n wall-clock samples, each rpc-corrected (VERDICT r1 #2: report
-        best/median/spread, not a single opaque best-of)."""
-        out = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            raw = time.perf_counter() - t0
-            # rpc jitter can exceed a fast program's runtime; never report
-            # more than a 10x cut from the raw wall time
-            out.append(max(raw - rpc, raw * 0.1))
-        return sorted(out)
+        t1, tm = sample(1), sample(m2)
+        diffs = sorted((b - a) / (m2 - 1) for a, b in zip(t1, tm))
+        med = float(np.median(diffs))
+        if med <= 0:
+            raise RuntimeError("tunnel too noisy: nonpositive median diff")
+        if diffs[0] <= 0:  # a noise spike in the m=1 samples; spread_pct
+            diffs[0] = med  # will still expose the unstable run
+        return diffs
 
     def spread_pct(ts):
         return 100.0 * (ts[-1] - ts[0]) / np.median(ts)
 
     # 1) dense scoring (the recorded north-star metric)
-    ts_dense = samples_of(lambda: np.asarray(main_prog(params, x0)))
+    ts_dense = diff_samples(lambda: main_prog(params, x0))
     per_fwd = ts_dense[0] / K
     frames_per_sec = B * N / per_fwd
     scoring_mfu = _model_flops(cfg, B, N, False) / per_fwd / PEAK_FLOPS
 
-    # 2) ragged buckets (each its own fetch; subtract rpc per program)
-    t_ragged = 0.0
-    for prog, xb in ragged_progs:
-        t_ragged += samples_of(
-            lambda p=prog, x=xb: np.asarray(p(params, x)), n=3)[0]
+    # 2) ragged buckets: one dispatch = all four bucket programs
+    def ragged_dispatch():
+        h = None
+        for prog, xb in ragged_progs:
+            h = prog(params, xb)
+        return h
+
+    t_ragged = diff_samples(ragged_dispatch, n=3)[0]
     ragged_fps = ragged_real_frames * K_RAGGED / t_ragged
 
-    # 3) train step: best AND median/spread over >=5 chains
-    ts_train = samples_of(run_train_chain, n=6)
+    # 3) train step (donated params thread the data dependency across
+    # dispatches; fetch only the final loss handle)
+    def train_dispatch():
+        p, o, loss = train_unrolled(train_state[0], train_state[1], x0)
+        train_state[0], train_state[1] = p, o
+        return loss
+
+    ts_train = diff_samples(train_dispatch, n=6)
     per_step = ts_train[0] / K_TRAIN
     per_step_med = float(np.median(ts_train)) / K_TRAIN
     train_fps = B * N / per_step
@@ -223,7 +245,7 @@ def main() -> None:
         return c
 
     np.asarray(google_chain(g_params, gx))  # compile
-    ts_g = samples_of(lambda: np.asarray(google_chain(g_params, gx)), n=3)
+    ts_g = diff_samples(lambda: google_chain(g_params, gx), n=3)
     google_fps = GB * K_G / ts_g[0]
 
     n_chips = max(len(jax.devices()), 1)
