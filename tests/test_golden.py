@@ -1,8 +1,11 @@
 """Golden bit-parity regression: the summary pipeline's selected frames on a
 fixed-seed fixture must never change (SURVEY.md §4 "golden/parity" and the
-BASELINE.json bit-for-bit north star). The golden file was generated from the
-oracle-verified implementation; any diff means shot-selection semantics
-drifted."""
+BASELINE.json bit-for-bit north star). The golden files are verified to be
+REFERENCE-derived: ``tests/test_reference_differential.py::
+test_golden_files_are_reference_derived`` re-runs the reference's own
+pipeline (/root/reference/src/evaluation) on the same fixtures and asserts
+the checked-in goldens equal its output — so a diff here means drift from
+the reference's semantics, not just from our own past behavior."""
 
 import json
 import os
