@@ -185,10 +185,14 @@ def main() -> None:
                 out.append(time.perf_counter() - t0)
             return sorted(out)
 
-        t1, tm = sample(1), sample(m2)
-        diffs = sorted((b - a) / (m2 - 1) for a, b in zip(t1, tm))
-        med = float(np.median(diffs))
-        if med <= 0:
+        for attempt in range(3):
+            t1, tm = sample(1), sample(m2)
+            diffs = sorted((b - a) / (m2 - 1) for a, b in zip(t1, tm))
+            med = float(np.median(diffs))
+            if med > 0:
+                break
+            time.sleep(20)  # relay noise spike; settle and retry
+        else:
             raise RuntimeError("tunnel too noisy: nonpositive median diff")
         if diffs[0] <= 0:  # a noise spike in the m=1 samples; spread_pct
             diffs[0] = med  # will still expose the unstable run

@@ -27,15 +27,20 @@ from vidsum_tpu.ops.summary import generate_summary
     __import__("jax").jit, static_argnames=("cfg", "n_real"))
 def _score_program(google_params, scorer_params, cfg: ModelConfig,
                    frames, n_real: int):
-    """frames (T_pad, H, W, 3) normalized → (sigmoid scores (T_pad,),
-    features (T_pad, 1024)); one XLA program."""
+    """frames (T_pad, H, W, 3) resized uint8 → (sigmoid scores (T_pad,),
+    features (T_pad, 1024)); one XLA program. Frames cross the wire as
+    uint8 and normalize on device — 4× less host→device traffic than
+    shipping f32, which dominates this path's wall time (PERF.md
+    'Raw-video path')."""
     import jax
     import jax.numpy as jnp
 
     from vidsum_tpu.models.simnet import simnet_apply
     from vidsum_tpu.preprocess.googlenet import googlenet_apply
+    from vidsum_tpu.preprocess.transforms import device_normalize
 
-    feats = googlenet_apply(google_params, frames.astype(cfg.compute_dtype))
+    x = device_normalize(frames, "google").astype(cfg.compute_dtype)
+    feats = googlenet_apply(google_params, x)
     pad_mask = (jnp.arange(frames.shape[0]) >= n_real)[None]
     scores, _ = simnet_apply(scorer_params, cfg, feats.astype(jnp.float32)[None],
                              pad_mask, deterministic=True)
@@ -45,10 +50,13 @@ def _score_program(google_params, scorer_params, cfg: ModelConfig,
 @functools.partial(
     __import__("jax").jit, static_argnames=("cfg",))
 def _features_program(google_params, cfg: ModelConfig, frames):
-    """frames (T_pad, H, W, 3) normalized → pool5 features (T_pad, 1024)."""
+    """frames (T_pad, H, W, 3) resized uint8 → pool5 features (T_pad, 1024);
+    uint8 wire + on-device normalize, as in :func:`_score_program`."""
     from vidsum_tpu.preprocess.googlenet import googlenet_apply
+    from vidsum_tpu.preprocess.transforms import device_normalize
 
-    return googlenet_apply(google_params, frames.astype(cfg.compute_dtype))
+    return googlenet_apply(
+        google_params, device_normalize(frames, "google").astype(cfg.compute_dtype))
 
 
 _SEQ_FWD_CACHE: Dict = {}
@@ -102,12 +110,12 @@ def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
         :func:`vidsum_tpu.ops.kts.kts_segmentation_jax`).
     """
     from vidsum_tpu.preprocess.reduce_fps import reduce_fps
-    from vidsum_tpu.preprocess.transforms import prepare_video
+    from vidsum_tpu.preprocess.transforms import resize_video
 
     frames, picks, n_frames = reduce_fps(video_path, fps=fps)
     if frames.shape[0] == 0:
         raise ValueError(f"no frames decoded from {video_path}")
-    x = prepare_video(frames, size, "google")
+    x = resize_video(frames, size)  # uint8 on the wire; normalize on device
     n_real = x.shape[0]
     if mesh is not None:
         pad_multiple *= mesh.shape["seq"]

@@ -17,7 +17,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from vidsum_tpu.preprocess.transforms import prepare_video
+from vidsum_tpu.preprocess.transforms import device_normalize, resize_video
 
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -69,13 +69,16 @@ class FeatureExtractor:
             self.params = convert(load_state_dict(weights))
         else:
             self.params = init()
+        # frames cross the host→device link as uint8 (4× less wire traffic
+        # than normalized f32); ToTensor+Normalize runs inside the program
         self._jitted = jax.jit(
-            lambda p, x: self._apply(p, x.astype(compute_dtype)))
+            lambda p, x: self._apply(
+                p, device_normalize(x, kind).astype(compute_dtype)))
 
     def frames(self, video: np.ndarray, size: int = 224) -> np.ndarray:
         """(T, H, W, 3) uint8 → (T, 1024) GoogLeNet pool5 features."""
         assert self.kind == "google"
-        x = prepare_video(video, size, "google")
+        x = resize_video(video, size)
         outs = []
         for start in range(0, x.shape[0], self.batch_size):
             chunk = x[start:start + self.batch_size]
@@ -91,7 +94,7 @@ class FeatureExtractor:
     def clip(self, video: np.ndarray, size: int = 112) -> np.ndarray:
         """(T, H, W, 3) uint8 → (512,) R3D-18 clip embedding."""
         assert self.kind == "r3d18"
-        x = prepare_video(video, size, "r3d18")[None]  # (1, T, h, w, 3)
+        x = resize_video(video, size)[None]  # (1, T, h, w, 3) uint8
         return np.asarray(self._jitted(self.params, x))[0].astype(np.float32)
 
 

@@ -50,9 +50,35 @@ def video_normalize(frames: np.ndarray) -> np.ndarray:
 def prepare_video(video: np.ndarray, size: int,
                   kind: str) -> np.ndarray:
     """(T, H, W, 3) uint8 → (T, h, w, 3) float32 ready for the extractor."""
-    resized = np.stack([resize_shorter_side(f, size) for f in video])
+    resized = resize_video(video, size)
     if kind == "google":
         return imagenet_normalize(resized)
     if kind == "r3d18":
         return video_normalize(resized)
     raise ValueError(kind)
+
+
+def resize_video(video: np.ndarray, size: int) -> np.ndarray:
+    """(T, H, W, 3) uint8 → resized uint8, still on host.
+
+    Keeping the wire format uint8 and normalizing on device moves 4× less
+    data through the host→device link than shipping normalized float32 —
+    the link, not compute, dominates raw-video feature extraction (a
+    10-minute video's frames are 181 MB as uint8 vs 722 MB as f32)."""
+    return np.stack([resize_shorter_side(f, size) for f in video])
+
+
+def device_normalize(x, kind: str):
+    """uint8 device array (…, 3) → normalized float32, on device.
+
+    Same float32 arithmetic as the host :func:`imagenet_normalize` /
+    :func:`video_normalize` (ToTensor + Normalize): elementwise IEEE f32,
+    bit-identical on the CPU backend; on TPU the f32 divide lowers through
+    the hardware reciprocal path, which stays well inside the bf16 ULP the
+    extractor casts to next."""
+    import jax.numpy as jnp
+
+    mean, std = ((IMAGENET_MEAN, IMAGENET_STD) if kind == "google"
+                 else (VIDEO_MEAN, VIDEO_STD))
+    return ((x.astype(jnp.float32) / 255.0 - jnp.asarray(mean))
+            / jnp.asarray(std))
