@@ -253,9 +253,10 @@ def main() -> None:
     t0 = _time.perf_counter()
     generate_summary(*args)
     t_host = _time.perf_counter() - t0
-    print(f"[timing] device eval {t_dev*1e3:.1f} ms vs host C++ "
-          f"{t_host*1e3:.1f} ms for 8 videos (device path trades latency "
-          f"for on-chip residency; host stays the oracle)")
+    print(f"[smoke-timing] device eval {t_dev*1e3:.1f} ms vs host C++ "
+          f"{t_host*1e3:.1f} ms for 8 videos — wall clock incl. tunnel "
+          f"RPC, NOT a benchmark (device path trades latency for on-chip "
+          f"residency; host stays the oracle)")
 
     # backbone golden features on the real chip (converter + XLA convs must
     # reproduce the committed fp64 torch-mirror goldens at f32 tolerance)
@@ -376,8 +377,10 @@ def main() -> None:
             out = f(qr, kr, vr)
         np.asarray(out[0])
         dt = (_t.perf_counter() - t0) / reps
-        print(f"[timing] ring-train fwd+bwd {impl}: {dt*1e3:.1f} ms "
-              f"(B=2 H=4 N={Nr}, rate 0.3, incl. dispatch)")
+        print(f"[smoke-timing] ring-train fwd+bwd {impl}: {dt*1e3:.1f} ms "
+              f"(B=2 H=4 N={Nr}, rate 0.3) — wall clock incl. dispatch + "
+              f"fetch RPC; the chain-differenced PERF.md ring table is the "
+              f"benchmark")
 
     print("ALL ON-CHIP VALIDATIONS PASSED")
 

@@ -104,6 +104,42 @@ def test_prepare_video():
     assert out.shape == (3, 32, 43, 3) and out.dtype == np.float32
 
 
+def test_device_normalize_matches_host_to_ulp():
+    """The uint8-wire path (resize on host, ToTensor+Normalize on device —
+    pipeline._score_program / extract.FeatureExtractor) must match the host
+    prepare_video it replaced to float32 ULP: the formula is identical, but
+    XLA strength-reduces the two divides to multiply-by-reciprocal, so the
+    CPU backend lands a few ULP-at-output-scale off the NumPy path
+    (measured max 4.8e-7; |output| ≤ 2.64 so one ULP is 2.4e-7 — near the
+    zero-crossing the *absolute* error stays at that scale because it is
+    inherited from the u/255 intermediate, so the bound is absolute, not
+    relative). Asserted exhaustively over all 256 uint8 values per channel —
+    the wire swap can never move an input pixel by more than ~1e-6, four
+    orders of magnitude inside the 1e-3 backbone-fidelity tolerance."""
+    import jax
+
+    from vidsum_tpu.preprocess.transforms import device_normalize, resize_video
+
+    # every representable input byte, every channel position
+    allv = np.broadcast_to(np.arange(256, dtype=np.uint8)[None, :, None, None],
+                           (1, 256, 2, 3)).copy()
+    for kind, host_fn in (("google", imagenet_normalize),
+                          ("r3d18", video_normalize)):
+        host = host_fn(allv)
+        dev = np.asarray(jax.jit(device_normalize,
+                                 static_argnames=("kind",))(allv, kind))
+        assert host.dtype == dev.dtype == np.float32
+        # 4 ULP at the max output magnitude (~2.64): 4 * 2.4e-7
+        assert np.abs(host - dev).max() <= 4 * np.spacing(np.float32(2.64)), kind
+
+    # resize itself is shared, so the full host path is exactly
+    # resize + normalize (pipeline ships resize_video's output on the wire)
+    video = np.random.default_rng(7).integers(0, 256, (4, 40, 56, 3),
+                                              dtype=np.uint8)
+    assert np.array_equal(prepare_video(video, 32, "google"),
+                          imagenet_normalize(resize_video(video, 32)))
+
+
 GOLDENS = os.path.join(os.path.dirname(__file__), "data",
                        "backbone_goldens.npz")
 

@@ -71,11 +71,12 @@ def resize_video(video: np.ndarray, size: int) -> np.ndarray:
 def device_normalize(x, kind: str):
     """uint8 device array (…, 3) → normalized float32, on device.
 
-    Same float32 arithmetic as the host :func:`imagenet_normalize` /
-    :func:`video_normalize` (ToTensor + Normalize): elementwise IEEE f32,
-    bit-identical on the CPU backend; on TPU the f32 divide lowers through
-    the hardware reciprocal path, which stays well inside the bf16 ULP the
-    extractor casts to next."""
+    Same float32 formula as the host :func:`imagenet_normalize` /
+    :func:`video_normalize` (ToTensor + Normalize), but XLA
+    strength-reduces the divides to multiply-by-reciprocal (measured: ≤2
+    f32 ULP vs the host path on the CPU backend, tests/test_preprocess.py)
+    — many orders of magnitude inside both the backbone-fidelity tolerance
+    (1e-3) and the bf16 ULP the extractor casts to next."""
     import jax.numpy as jnp
 
     mean, std = ((IMAGENET_MEAN, IMAGENET_STD) if kind == "google"
