@@ -47,6 +47,40 @@ def test_summarize_video_end_to_end(video_path):
     assert out.change_points[-1, 1] == 119
 
 
+def test_iter_reduced_frames_matches_reduce_fps(video_path):
+    """The lazy decode stream must be bit-identical to the eager reduce_fps
+    (same grab/retrieve cadence — the reference's reduce_fps.py:7-56
+    contract) frame by frame, with matching picks/n_frames metadata."""
+    from vidsum_tpu.preprocess.reduce_fps import iter_reduced_frames, reduce_fps
+
+    frames, picks, n_frames = reduce_fps(video_path, fps=2)
+    rs = iter_reduced_frames(video_path, fps=2)
+    streamed = list(rs.frames)
+    assert rs.n_frames == n_frames
+    assert len(streamed) == frames.shape[0] == rs.final_count
+    assert np.array_equal(np.stack(streamed), frames)
+    assert np.array_equal(np.asarray([i * rs.step for i in range(len(streamed))]),
+                          picks)
+    assert (rs.height, rs.width) == frames.shape[1:3]
+
+
+def test_summarize_video_chunk_invariance(video_path):
+    """Chunked streaming (device transfer overlapping decode) must not
+    change the result: padded frames are masked in the scorer, so any
+    chunk size yields the same scores and the same selected frames."""
+    cfg = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.0,
+                      max_len=256)
+    scorer = init_simnet(jax.random.PRNGKey(0), cfg)
+    google = init_googlenet(jax.random.PRNGKey(1))
+    outs = [summarize_video(video_path, scorer, cfg, google, fps=2, size=64,
+                            pad_multiple=4, stream_chunk=c)
+            for c in (4, 512)]
+    np.testing.assert_allclose(outs[0].scores, outs[1].scores,
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(outs[0].summary, outs[1].summary)
+    assert np.array_equal(outs[0].change_points, outs[1].change_points)
+
+
 def test_summarize_directory(video_path, tmp_path):
     import json
     import shutil
@@ -116,9 +150,6 @@ def test_summarize_long_video_seq_sharded(monkeypatch):
     picks = np.arange(N_REAL) * STEP
     n_frames = N_REAL * STEP
 
-    def fake_reduce_fps(path, fps=2):
-        return frames, picks, n_frames
-
     # the package re-exports the function under the module's name; resolve
     # the actual module (summarize_video imports from it at call time)
     import importlib
@@ -126,7 +157,13 @@ def test_summarize_long_video_seq_sharded(monkeypatch):
 
     importlib.import_module("vidsum_tpu.preprocess.reduce_fps")
     rf = sys.modules["vidsum_tpu.preprocess.reduce_fps"]
-    monkeypatch.setattr(rf, "reduce_fps", fake_reduce_fps)
+
+    def fake_iter(path, fps=2):
+        return rf.ReducedStream(frames=iter(frames), n_frames=n_frames,
+                                step=STEP, final_count=N_REAL,
+                                height=32, width=32)
+
+    monkeypatch.setattr(rf, "iter_reduced_frames", fake_iter)
 
     cfg = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.0,
                       max_len=2000)  # N_REAL > max_len: PE table must grow

@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'host' = float64 NumPy/C++ auto-KTS (parity "
                         "oracle), 'device' = one jitted program on the "
                         "accelerator")
+    p.add_argument("--stream_chunk", type=int, default=256,
+                   help="frames per host->device chunk; each chunk ships "
+                        "while later frames still decode (result is "
+                        "chunk-invariant)")
     return p
 
 
@@ -89,7 +93,8 @@ def main(argv=None) -> None:
                     .reshape(1, args.seq_shards), ("data", "seq"))
     result = summarize_video(args.video, scorer, cfg, google, fps=args.fps,
                              size=args.size, budget_ratio=args.budget,
-                             mesh=mesh, kts_impl=args.kts_impl)
+                             mesh=mesh, kts_impl=args.kts_impl,
+                             stream_chunk=args.stream_chunk)
     selected = np.nonzero(result.summary)[0].tolist()
     with open(args.out, "w") as f:
         json.dump({"video": args.video, "n_frames": int(result.n_frames),

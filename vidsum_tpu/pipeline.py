@@ -24,14 +24,17 @@ from vidsum_tpu.ops.summary import generate_summary
 
 
 @functools.partial(
-    __import__("jax").jit, static_argnames=("cfg", "n_real"))
+    __import__("jax").jit, static_argnames=("cfg",))
 def _score_program(google_params, scorer_params, cfg: ModelConfig,
-                   frames, n_real: int):
-    """frames (T_pad, H, W, 3) resized uint8 → (sigmoid scores (T_pad,),
-    features (T_pad, 1024)); one XLA program. Frames cross the wire as
-    uint8 and normalize on device — 4× less host→device traffic than
-    shipping f32, which dominates this path's wall time (PERF.md
-    'Raw-video path')."""
+                   chunks, n_real):
+    """chunks: tuple of (C, H, W, 3) resized-uint8 device arrays (equal
+    shapes, zero-padded tail) → (sigmoid scores (T_pad,), features
+    (T_pad, 1024)); one XLA program. Frames cross the wire as uint8 in
+    chunks shipped while later frames still decode — 4× less host→device
+    traffic than f32 AND the transfer overlaps decode, both of which
+    dominate this path's wall time (PERF.md 'Raw-video path'). ``n_real``
+    is a traced scalar so videos sharing a chunk-count bucket share one
+    compiled program."""
     import jax
     import jax.numpy as jnp
 
@@ -39,6 +42,7 @@ def _score_program(google_params, scorer_params, cfg: ModelConfig,
     from vidsum_tpu.preprocess.googlenet import googlenet_apply
     from vidsum_tpu.preprocess.transforms import device_normalize
 
+    frames = jnp.concatenate(chunks, axis=0)
     x = device_normalize(frames, "google").astype(cfg.compute_dtype)
     feats = googlenet_apply(google_params, x)
     pad_mask = (jnp.arange(frames.shape[0]) >= n_real)[None]
@@ -49,12 +53,15 @@ def _score_program(google_params, scorer_params, cfg: ModelConfig,
 
 @functools.partial(
     __import__("jax").jit, static_argnames=("cfg",))
-def _features_program(google_params, cfg: ModelConfig, frames):
-    """frames (T_pad, H, W, 3) resized uint8 → pool5 features (T_pad, 1024);
-    uint8 wire + on-device normalize, as in :func:`_score_program`."""
+def _features_program(google_params, cfg: ModelConfig, chunks):
+    """chunks of (C, H, W, 3) resized uint8 → pool5 features (T_pad, 1024);
+    uint8 chunk wire + on-device normalize, as in :func:`_score_program`."""
+    import jax.numpy as jnp
+
     from vidsum_tpu.preprocess.googlenet import googlenet_apply
     from vidsum_tpu.preprocess.transforms import device_normalize
 
+    frames = jnp.concatenate(chunks, axis=0)
     return googlenet_apply(
         google_params, device_normalize(frames, "google").astype(cfg.compute_dtype))
 
@@ -63,7 +70,7 @@ _SEQ_FWD_CACHE: Dict = {}
 
 
 def _score_seq_sharded(google_params, scorer_params, cfg: ModelConfig,
-                       frames, n_real: int, mesh):
+                       chunks, n_real: int, mesh):
     """Long-context scoring: pool5 features, then the sequence-parallel
     ring-attention scorer over the (data, seq) mesh — no N×N tensor ever
     materializes, so frame counts far beyond the dense envelope run."""
@@ -72,12 +79,12 @@ def _score_seq_sharded(google_params, scorer_params, cfg: ModelConfig,
 
     from vidsum_tpu.parallel.seq_forward import make_seq_sharded_forward
 
-    feats = _features_program(google_params, cfg, frames)
+    feats = _features_program(google_params, cfg, chunks)
     key = (cfg, mesh)
     if key not in _SEQ_FWD_CACHE:
         _SEQ_FWD_CACHE[key] = make_seq_sharded_forward(cfg, mesh)
     fwd = _SEQ_FWD_CACHE[key]
-    pad_mask = jnp.arange(frames.shape[0])[None] >= n_real
+    pad_mask = jnp.arange(feats.shape[0])[None] >= n_real
     scores, _ = fwd(scorer_params,
                     jnp.asarray(feats, jnp.float32)[None], pad_mask)
     return jax.nn.sigmoid(scores[0, :, 0]), feats
@@ -96,7 +103,8 @@ def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
                     google_params, fps: int = 2, size: int = 224,
                     budget_ratio: float = 0.15,
                     pad_multiple: int = 64, mesh=None,
-                    kts_impl: str = "host") -> VideoSummary:
+                    kts_impl: str = "host",
+                    stream_chunk: int = 256) -> VideoSummary:
     """Raw video file → binary summary.
 
     :param mesh: optional ``jax.sharding.Mesh`` with (data, seq) axes — the
@@ -108,20 +116,57 @@ def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
     :param kts_impl: ``"host"`` (float64 NumPy/C++ auto-KTS, the parity
         oracle) or ``"device"`` (one jitted program:
         :func:`vidsum_tpu.ops.kts.kts_segmentation_jax`).
+    :param stream_chunk: frames per host→device chunk (rounded up to
+        ``pad_multiple``). Each chunk ships as soon as its frames are
+        decoded+resized, so the wire transfer runs under the remaining
+        decode — on relay-attached hosts the transfer is this path's
+        largest term (PERF.md 'Raw-video path'). Scores are invariant to
+        the chunking (padded frames are masked throughout).
     """
-    from vidsum_tpu.preprocess.reduce_fps import reduce_fps
-    from vidsum_tpu.preprocess.transforms import resize_video
+    import importlib
 
-    frames, picks, n_frames = reduce_fps(video_path, fps=fps)
-    if frames.shape[0] == 0:
-        raise ValueError(f"no frames decoded from {video_path}")
-    x = resize_video(frames, size)  # uint8 on the wire; normalize on device
-    n_real = x.shape[0]
+    import jax
+
+    from vidsum_tpu.preprocess.transforms import resize_shorter_side
+
+    # the package re-exports the reduce_fps *function* under the module's
+    # name; resolve the module itself (keeps the monkeypatch seam the tests
+    # use, and call-time lookup of iter_reduced_frames)
+    _rf = importlib.import_module("vidsum_tpu.preprocess.reduce_fps")
+    rs = _rf.iter_reduced_frames(video_path, fps=fps)
     if mesh is not None:
         pad_multiple *= mesh.shape["seq"]
-    pad = (-n_real) % pad_multiple
-    if pad:
-        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    # full chunks stay shape-identical (one compiled program per chunk-count
+    # bucket); a short video becomes a single right-sized chunk
+    chunk = -(-max(stream_chunk, 1) // pad_multiple) * pad_multiple
+    if rs.final_count:
+        chunk = min(chunk, -(-rs.final_count // pad_multiple) * pad_multiple)
+    dev_chunks = []
+    buf: list = []
+
+    def ship(arr):
+        # async: returns immediately, the relay moves bytes in background
+        dev_chunks.append(jax.device_put(arr))
+
+    n_real = 0
+    for f in rs.frames:
+        buf.append(resize_shorter_side(f, size))
+        n_real += 1
+        if len(buf) == chunk:
+            ship(np.stack(buf))
+            buf = []
+    if buf:
+        arr = np.stack(buf)
+        tail = chunk - arr.shape[0]
+        if tail:
+            arr = np.concatenate(
+                [arr, np.zeros((tail,) + arr.shape[1:], arr.dtype)])
+        ship(arr)
+    if n_real == 0:
+        raise ValueError(f"no frames decoded from {video_path}")
+    picks = np.asarray([i * rs.step for i in range(n_real)])
+    n_frames = rs.n_frames
+    x = tuple(dev_chunks)
 
     if mesh is None:
         scores, feats = _score_program(google_params, scorer_params, cfg,

@@ -5,17 +5,36 @@ decode with ``cv2.VideoCapture``, keep every ``orig_fps // fps``-th frame up
 to ``n_frames * fps // orig_fps`` frames total, swap BGR→RGB, and return
 ``(frames (T, H, W, 3) uint8, picked original indices, original n_frames)``
 — the ``picks`` / ``n_frames`` metadata the eval pipeline consumes.
+
+:func:`iter_reduced_frames` is the lazy form — identical grab/retrieve
+cadence, one frame in memory at a time — so the raw-video pipeline can
+resize and ship each chunk to the device while later frames still decode
+(the host→device relay transfers ride under decode; PERF.md 'Raw-video
+path'). :func:`reduce_fps` is a thin eager wrapper over it.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+import dataclasses
+from typing import Iterator, Tuple
 
 import numpy as np
 
 
-def reduce_fps(video_path: str, fps: int = 2
-               ) -> Tuple[np.ndarray, np.ndarray, int]:
+@dataclasses.dataclass
+class ReducedStream:
+    """Lazily decoded reduced-fps video: ``frames`` yields contiguous RGB
+    uint8 frames in pick order; metadata is available before decoding."""
+
+    frames: Iterator[np.ndarray]
+    n_frames: int      # original frame count (container metadata)
+    step: int          # orig_fps // fps; pick i is original frame i*step
+    final_count: int   # expected kept frames (n_frames * fps // orig_fps)
+    height: int
+    width: int
+
+
+def iter_reduced_frames(video_path: str, fps: int = 2) -> ReducedStream:
     import cv2 as cv
 
     cap = cv.VideoCapture(video_path)
@@ -31,20 +50,36 @@ def reduce_fps(video_path: str, fps: int = 2
     final_count = n_frames * fps // orig_fps
     step = orig_fps // fps
 
-    frames = np.zeros((final_count, height, width, 3), dtype=np.uint8)
-    picks = []
-    idx = 0
-    kept = 0
-    ok = True
-    while ok and kept != final_count:
-        cap.grab()
-        if idx % step == 0:
-            ok, bgr = cap.retrieve()
-            if not ok:
-                break
-            frames[kept] = bgr[:, :, ::-1]
-            picks.append(idx)
-            kept += 1
-        idx += 1
-    cap.release()
-    return frames[:kept], np.asarray(picks), n_frames
+    def gen() -> Iterator[np.ndarray]:
+        idx = 0
+        kept = 0
+        ok = True
+        try:
+            while ok and kept != final_count:
+                cap.grab()
+                if idx % step == 0:
+                    ok, bgr = cap.retrieve()
+                    if not ok:
+                        break
+                    yield np.ascontiguousarray(bgr[:, :, ::-1])
+                    kept += 1
+                idx += 1
+        finally:
+            cap.release()
+
+    return ReducedStream(frames=gen(), n_frames=n_frames, step=step,
+                         final_count=final_count, height=height, width=width)
+
+
+def reduce_fps(video_path: str, fps: int = 2
+               ) -> Tuple[np.ndarray, np.ndarray, int]:
+    rs = iter_reduced_frames(video_path, fps)
+    frames = list(rs.frames)
+    if frames:
+        arr = np.stack(frames)
+    else:
+        arr = np.zeros((0, rs.height, rs.width, 3), dtype=np.uint8)
+    # np.asarray of a Python int list reproduces the eager loop's picks
+    # array exactly, including the float64 empty-list dtype corner
+    picks = np.asarray([i * rs.step for i in range(len(frames))])
+    return arr, picks, rs.n_frames
