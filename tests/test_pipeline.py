@@ -73,31 +73,43 @@ def test_summarize_video_chunk_invariance(video_path):
     scorer = init_simnet(jax.random.PRNGKey(0), cfg)
     google = init_googlenet(jax.random.PRNGKey(1))
     outs = [summarize_video(video_path, scorer, cfg, google, fps=2, size=64,
-                            pad_multiple=4, stream_chunk=c)
+                            pad_multiple=4, stream_chunk=c, budget_ratio=0.5)
             for c in (4, 512)]
     np.testing.assert_allclose(outs[0].scores, outs[1].scores,
                                rtol=1e-5, atol=1e-6)
+    assert outs[0].summary.sum() > 0  # budget 0.5 fits a shot: non-trivial
     assert np.array_equal(outs[0].summary, outs[1].summary)
     assert np.array_equal(outs[0].change_points, outs[1].change_points)
 
 
 def test_summarize_directory(video_path, tmp_path):
+    """Two-deep pipelined batch (video i+1 decodes while video i drains on
+    device) must equal sequential per-video summarize_video calls."""
     import json
     import shutil
     vdir = str(tmp_path / "vids")
     os.makedirs(vdir)
     shutil.copy(video_path, os.path.join(vdir, "a.mp4"))
+    shutil.copy(video_path, os.path.join(vdir, "b.mp4"))
     cfg = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.0,
                       max_len=256)
     scorer = init_simnet(jax.random.PRNGKey(0), cfg)
     google = init_googlenet(jax.random.PRNGKey(1))
     from vidsum_tpu.pipeline import summarize_directory
     out_json = str(tmp_path / "summary.json")
+    # budget 0.5 so shots actually fit (at 0.15 the ~60-frame shots of this
+    # 8-sample fixture all exceed the budget and the equality is trivially
+    # empty-vs-empty)
     res = summarize_directory(vdir, scorer, cfg, google, out_json=out_json,
-                              fps=2, size=64)
-    assert set(res) == {"video_0"}
+                              fps=2, size=64, budget_ratio=0.5)
+    assert set(res) == {"video_0", "video_1"}
     with open(out_json) as f:
         assert json.load(f) == {k: list(v) for k, v in res.items()}
+    seq = summarize_video(video_path, scorer, cfg, google, fps=2, size=64,
+                          budget_ratio=0.5)
+    expect = np.nonzero(seq.summary)[0].tolist()
+    assert len(expect) > 0
+    assert res["video_0"] == expect and res["video_1"] == expect
 
 
 def test_cli_summarize_smoke(video_path, tmp_path, monkeypatch):

@@ -99,30 +99,24 @@ class VideoSummary:
     n_frames: int
 
 
-def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
-                    google_params, fps: int = 2, size: int = 224,
-                    budget_ratio: float = 0.15,
-                    pad_multiple: int = 64, mesh=None,
-                    kts_impl: str = "host",
-                    stream_chunk: int = 256) -> VideoSummary:
-    """Raw video file → binary summary.
+@dataclasses.dataclass
+class _PendingVideo:
+    """A video whose score program is dispatched but not yet fetched —
+    the device (and the relay's in-flight chunk transfers) keep working
+    while the host moves on to decoding the next video."""
 
-    :param mesh: optional ``jax.sharding.Mesh`` with (data, seq) axes — the
-        scorer then runs sequence-parallel with exact ring attention
-        (``parallel/seq_forward.py``), so videos far beyond the dense
-        O(N²) envelope (>2,500 frames) score without any N×N tensor; frame
-        features are computed per position and the sequence padding rounds
-        up to ``seq_axis × pad_multiple``.
-    :param kts_impl: ``"host"`` (float64 NumPy/C++ auto-KTS, the parity
-        oracle) or ``"device"`` (one jitted program:
-        :func:`vidsum_tpu.ops.kts.kts_segmentation_jax`).
-    :param stream_chunk: frames per host→device chunk (rounded up to
-        ``pad_multiple``). Each chunk ships as soon as its frames are
-        decoded+resized, so the wire transfer runs under the remaining
-        decode — on relay-attached hosts the transfer is this path's
-        largest term (PERF.md 'Raw-video path'). Scores are invariant to
-        the chunking (padded frames are masked throughout).
-    """
+    scores: object  # (T_pad,) device array, dispatch in flight
+    feats: object   # (T_pad, d_feat) device array
+    n_real: int
+    n_frames: int
+    picks: np.ndarray
+
+
+def _begin_video(video_path: str, scorer_params, cfg: ModelConfig,
+                 google_params, fps: int, size: int, pad_multiple: int,
+                 mesh, stream_chunk: int) -> _PendingVideo:
+    """Decode → resize → chunked async ship → dispatch the score program.
+    Returns immediately after dispatch; nothing is fetched."""
     import importlib
 
     import jax
@@ -165,7 +159,6 @@ def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
     if n_real == 0:
         raise ValueError(f"no frames decoded from {video_path}")
     picks = np.asarray([i * rs.step for i in range(n_real)])
-    n_frames = rs.n_frames
     x = tuple(dev_chunks)
 
     if mesh is None:
@@ -174,8 +167,17 @@ def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
     else:
         scores, feats = _score_seq_sharded(google_params, scorer_params, cfg,
                                            x, n_real, mesh)
-    scores = np.asarray(scores[:n_real], dtype=np.float32)
-    feats = np.asarray(feats[:n_real], dtype=np.float64)
+    return _PendingVideo(scores=scores, feats=feats, n_real=n_real,
+                         n_frames=rs.n_frames, picks=picks)
+
+
+def _finish_video(p: _PendingVideo, budget_ratio: float,
+                  kts_impl: str) -> VideoSummary:
+    """Fetch the pending device results and run shot selection (KTS +
+    knapsack) to a binary summary."""
+    n_real = p.n_real
+    scores = np.asarray(p.scores[:n_real], dtype=np.float32)
+    feats = np.asarray(p.feats[:n_real], dtype=np.float64)
 
     ncp = max(n_real // 25, 1)
     if kts_impl == "device":
@@ -191,25 +193,63 @@ def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
         gram = feats @ feats.T
         cps, _ = kts_segmentation(gram, ncp, vmax=1.0)
     bounds = change_points_from_cps(cps, n_real)
-    ratio = n_frames / n_real
+    ratio = p.n_frames / n_real
     starts = np.round(bounds[:, 0] * ratio).astype(np.int64)
-    ends = np.concatenate([starts[1:] - 1, [n_frames - 1]])
+    ends = np.concatenate([starts[1:] - 1, [p.n_frames - 1]])
     change_points = np.stack([starts, ends], axis=1)
 
-    [summary] = generate_summary([change_points], [scores], [n_frames],
-                                 [picks], budget_ratio=budget_ratio)
+    [summary] = generate_summary([change_points], [scores], [p.n_frames],
+                                 [p.picks], budget_ratio=budget_ratio)
     return VideoSummary(summary=summary, scores=scores,
-                        change_points=change_points, picks=picks,
-                        n_frames=n_frames)
+                        change_points=change_points, picks=p.picks,
+                        n_frames=p.n_frames)
+
+
+def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
+                    google_params, fps: int = 2, size: int = 224,
+                    budget_ratio: float = 0.15,
+                    pad_multiple: int = 64, mesh=None,
+                    kts_impl: str = "host",
+                    stream_chunk: int = 256) -> VideoSummary:
+    """Raw video file → binary summary.
+
+    :param mesh: optional ``jax.sharding.Mesh`` with (data, seq) axes — the
+        scorer then runs sequence-parallel with exact ring attention
+        (``parallel/seq_forward.py``), so videos far beyond the dense
+        O(N²) envelope (>2,500 frames) score without any N×N tensor; frame
+        features are computed per position and the sequence padding rounds
+        up to ``seq_axis × pad_multiple``.
+    :param kts_impl: ``"host"`` (float64 NumPy/C++ auto-KTS, the parity
+        oracle) or ``"device"`` (one jitted program:
+        :func:`vidsum_tpu.ops.kts.kts_segmentation_jax`).
+    :param stream_chunk: frames per host→device chunk (rounded up to
+        ``pad_multiple``). Each chunk ships as soon as its frames are
+        decoded+resized, so the wire transfer runs under the remaining
+        decode — on relay-attached hosts the transfer is this path's
+        largest term (PERF.md 'Raw-video path'). Scores are invariant to
+        the chunking (padded frames are masked throughout).
+    """
+    pending = _begin_video(video_path, scorer_params, cfg, google_params,
+                           fps, size, pad_multiple, mesh, stream_chunk)
+    return _finish_video(pending, budget_ratio, kts_impl)
 
 
 def summarize_directory(video_dir: str, scorer_params, cfg: ModelConfig,
                         google_params, out_json: str = "summary.json",
                         fps: int = 2, size: int = 224,
-                        budget_ratio: float = 0.15) -> Dict[str, list]:
+                        budget_ratio: float = 0.15,
+                        stream_chunk: int = 256) -> Dict[str, list]:
     """Batch the raw-video pipeline over every video in a directory and write
     a ``summary.json`` keyed by ``video_<i>`` (the reference export layout,
-    ``src/generate_summary_image.py:39-48``)."""
+    ``src/generate_summary_image.py:39-48``).
+
+    Videos are pipelined two-deep: video i's score program is dispatched
+    (and its chunk transfers drain through the relay) while video i+1
+    decodes on the host, then i is fetched and shot-selected. The
+    un-overlapped wire tail + device compute of each video therefore hides
+    under the next video's decode — per-video results are identical to
+    sequential :func:`summarize_video` calls (same programs, same fetch
+    order per video)."""
     import glob
     import json
     import os
@@ -218,10 +258,18 @@ def summarize_directory(video_dir: str, scorer_params, cfg: ModelConfig,
     paths = sorted(p for p in glob.glob(os.path.join(video_dir, "*"))
                    if p.rsplit(".", 1)[-1].lower() in
                    ("mp4", "mkv", "mpeg", "avi", "webm"))
+    pending: list = []  # [(index, _PendingVideo)]
     for i, path in enumerate(paths):
-        out = summarize_video(path, scorer_params, cfg, google_params,
-                              fps=fps, size=size, budget_ratio=budget_ratio)
-        results[f"video_{i}"] = np.nonzero(out.summary)[0].tolist()
+        nxt = _begin_video(path, scorer_params, cfg, google_params,
+                           fps, size, 64, None, stream_chunk)
+        if pending:
+            j, p = pending.pop()
+            out = _finish_video(p, budget_ratio, "host")
+            results[f"video_{j}"] = np.nonzero(out.summary)[0].tolist()
+        pending.append((i, nxt))
+    for j, p in pending:
+        out = _finish_video(p, budget_ratio, "host")
+        results[f"video_{j}"] = np.nonzero(out.summary)[0].tolist()
     with open(out_json, "w") as f:
         json.dump(results, f, indent=8)
     return results
