@@ -13,6 +13,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep tests hermetic: the CLIs enable the persistent XLA compile cache in
+# ~/.cache by default (utils/compile_cache.py); tests must not write there
+os.environ.setdefault("VIDSUM_TPU_CACHE_DIR", "off")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

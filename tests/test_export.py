@@ -80,3 +80,28 @@ def test_step_timer_and_trace(tmp_path):
     assert s["steps"] == 5 and s["mean_s"] >= 0
     with trace(None):  # no-op path
         pass
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    """CLI compile cache helper: honors an explicit dir, populates jax
+    config, and VIDSUM_TPU_CACHE_DIR=off disables (what conftest sets so
+    the suite never writes ~/.cache)."""
+    import jax
+
+    from vidsum_tpu.utils.compile_cache import enable_persistent_cache
+
+    monkeypatch.delenv("VIDSUM_TPU_CACHE_DIR", raising=False)
+    prev = jax.config.jax_compilation_cache_dir
+    cache_dir = str(tmp_path / "xla")
+    assert enable_persistent_cache(cache_dir, min_compile_secs=0.0,
+                                   allow_cpu=True) == cache_dir
+    assert os.path.isdir(cache_dir)
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    # a compile lands an entry on disk (min_compile_secs=0 caches everything)
+    np.asarray(jax.jit(lambda x: x * 2 + 1)(np.arange(7.0)))
+    assert len(os.listdir(cache_dir)) >= 1
+    monkeypatch.setenv("VIDSUM_TPU_CACHE_DIR", "off")
+    assert enable_persistent_cache() is None
+    # tmp_path is deleted after the test: restore the previous cache dir so
+    # later suite compiles don't point at a vanished directory
+    jax.config.update("jax_compilation_cache_dir", prev)

@@ -103,6 +103,8 @@ def config_from_args(args) -> Config:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from vidsum_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # remote compiles are ~10-40 s/shape; cache hits across CLI processes (VIDSUM_TPU_CACHE_DIR=off to disable)
     if getattr(args, 'debug_nans', False):
         import jax
 
