@@ -325,6 +325,15 @@ def main() -> None:
     check("pallas ring-step kernel == flash on chip", rdiff < 5e-3,
           f"max diff {rdiff:.2e} at N={Nr}")
 
+    # bf16 k/v through the fused ring step (ADVICE r1: the in-kernel
+    # f32 upcast was only exercised at f32 on real Mosaic) — must stay
+    # within bf16 rounding of the all-f32 ring
+    out_b = np.asarray(ring_p(qr, kr.astype(jnp.bfloat16),
+                              vr.astype(jnp.bfloat16), mr))
+    bdiff = np.abs(out_b - out_p).max()
+    check("pallas ring-step bf16 k/v on chip", bdiff < 5e-2,
+          f"max diff vs f32 ring {bdiff:.2e}")
+
     # fused TRAIN ring (custom VJP, VERDICT r1 #3) vs the XLA ring at
     # stretch length on real Mosaic: forward, dq/dk/dv, and step timing.
     from vidsum_tpu.parallel.ring_attention import ring_attention_train
