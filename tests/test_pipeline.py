@@ -59,22 +59,24 @@ def test_iter_reduced_frames_matches_reduce_fps(video_path):
     assert rs.n_frames == n_frames
     assert len(streamed) == frames.shape[0] == rs.final_count
     assert np.array_equal(np.stack(streamed), frames)
-    assert np.array_equal(np.asarray([i * rs.step for i in range(len(streamed))]),
-                          picks)
+    assert np.array_equal(rs.picks(len(streamed)), picks)
     assert (rs.height, rs.width) == frames.shape[1:3]
 
 
 def test_summarize_video_chunk_invariance(video_path):
     """Chunked streaming (device transfer overlapping decode) must not
     change the result: padded frames are masked in the scorer, so any
-    chunk size yields the same scores and the same selected frames."""
+    chunking AND any padded length yields the same scores and the same
+    selected frames. The two configs produce different T_pad (8 via two
+    4-frame chunks vs 64 via one tail-padded chunk) so the masking
+    property is actually exercised, not just byte-identical inputs."""
     cfg = ModelConfig(d_model=32, num_heads=4, num_layers=1, dropout=0.0,
                       max_len=256)
     scorer = init_simnet(jax.random.PRNGKey(0), cfg)
     google = init_googlenet(jax.random.PRNGKey(1))
     outs = [summarize_video(video_path, scorer, cfg, google, fps=2, size=64,
-                            pad_multiple=4, stream_chunk=c, budget_ratio=0.5)
-            for c in (4, 512)]
+                            pad_multiple=pm, stream_chunk=c, budget_ratio=0.5)
+            for pm, c in ((4, 4), (64, 512))]
     np.testing.assert_allclose(outs[0].scores, outs[1].scores,
                                rtol=1e-5, atol=1e-6)
     assert outs[0].summary.sum() > 0  # budget 0.5 fits a shot: non-trivial

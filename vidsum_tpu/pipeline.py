@@ -27,14 +27,15 @@ from vidsum_tpu.ops.summary import generate_summary
     __import__("jax").jit, static_argnames=("cfg",))
 def _score_program(google_params, scorer_params, cfg: ModelConfig,
                    chunks, n_real):
-    """chunks: tuple of (C, H, W, 3) resized-uint8 device arrays (equal
-    shapes, zero-padded tail) → (sigmoid scores (T_pad,), features
-    (T_pad, 1024)); one XLA program. Frames cross the wire as uint8 in
-    chunks shipped while later frames still decode — 4× less host→device
-    traffic than f32 AND the transfer overlaps decode, both of which
-    dominate this path's wall time (PERF.md 'Raw-video path'). ``n_real``
-    is a traced scalar so videos sharing a chunk-count bucket share one
-    compiled program."""
+    """chunks: tuple of (C, H, W, 3) resized-uint8 device arrays (full
+    chunks share one shape; the tail chunk is right-sized to the pad
+    multiple so ≤63 zero frames ever cross the wire) → (sigmoid scores
+    (T_pad,), features (T_pad, 1024)); one XLA program. Frames cross the
+    wire as uint8 in chunks shipped while later frames still decode — 4×
+    less host→device traffic than f32 AND the transfer overlaps decode,
+    both of which dominate this path's wall time (PERF.md 'Raw-video
+    path'). ``n_real`` is a traced scalar so videos sharing a
+    (chunk-count, tail-size) bucket share one compiled program."""
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +68,11 @@ def _features_program(google_params, cfg: ModelConfig, chunks):
 
 
 _SEQ_FWD_CACHE: Dict = {}
+
+# default sequence-padding granularity, shared by summarize_video and
+# summarize_directory so the batched path stays program-identical to
+# sequential calls
+_PAD_MULTIPLE = 64
 
 
 def _score_seq_sharded(google_params, scorer_params, cfg: ModelConfig,
@@ -143,22 +149,28 @@ def _begin_video(video_path: str, scorer_params, cfg: ModelConfig,
         dev_chunks.append(jax.device_put(arr))
 
     n_real = 0
-    for f in rs.frames:
-        buf.append(resize_shorter_side(f, size))
-        n_real += 1
-        if len(buf) == chunk:
-            ship(np.stack(buf))
-            buf = []
+    try:
+        for f in rs.frames:
+            buf.append(resize_shorter_side(f, size))
+            n_real += 1
+            if len(buf) == chunk:
+                ship(np.stack(buf))
+                buf = []
+    finally:
+        rs.close()  # release the decoder even if a resize/stack raises
     if buf:
         arr = np.stack(buf)
-        tail = chunk - arr.shape[0]
+        # the tail chunk is right-sized to pad_multiple, not to the full
+        # chunk: padding crosses the wire too, and up to chunk-1 zero
+        # frames (~68 MB at the 224 default) would cost seconds of relay
+        tail = (-arr.shape[0]) % pad_multiple
         if tail:
             arr = np.concatenate(
                 [arr, np.zeros((tail,) + arr.shape[1:], arr.dtype)])
         ship(arr)
     if n_real == 0:
         raise ValueError(f"no frames decoded from {video_path}")
-    picks = np.asarray([i * rs.step for i in range(n_real)])
+    picks = rs.picks(n_real)
     x = tuple(dev_chunks)
 
     if mesh is None:
@@ -208,7 +220,7 @@ def _finish_video(p: _PendingVideo, budget_ratio: float,
 def summarize_video(video_path: str, scorer_params, cfg: ModelConfig,
                     google_params, fps: int = 2, size: int = 224,
                     budget_ratio: float = 0.15,
-                    pad_multiple: int = 64, mesh=None,
+                    pad_multiple: int = _PAD_MULTIPLE, mesh=None,
                     kts_impl: str = "host",
                     stream_chunk: int = 256) -> VideoSummary:
     """Raw video file → binary summary.
@@ -258,18 +270,21 @@ def summarize_directory(video_dir: str, scorer_params, cfg: ModelConfig,
     paths = sorted(p for p in glob.glob(os.path.join(video_dir, "*"))
                    if p.rsplit(".", 1)[-1].lower() in
                    ("mp4", "mkv", "mpeg", "avi", "webm"))
-    pending: list = []  # [(index, _PendingVideo)]
-    for i, path in enumerate(paths):
-        nxt = _begin_video(path, scorer_params, cfg, google_params,
-                           fps, size, 64, None, stream_chunk)
-        if pending:
-            j, p = pending.pop()
-            out = _finish_video(p, budget_ratio, "host")
-            results[f"video_{j}"] = np.nonzero(out.summary)[0].tolist()
-        pending.append((i, nxt))
-    for j, p in pending:
+    pending = None  # (index, _PendingVideo)
+
+    def finish(entry):
+        j, p = entry
         out = _finish_video(p, budget_ratio, "host")
         results[f"video_{j}"] = np.nonzero(out.summary)[0].tolist()
+
+    for i, path in enumerate(paths):
+        nxt = _begin_video(path, scorer_params, cfg, google_params,
+                           fps, size, _PAD_MULTIPLE, None, stream_chunk)
+        if pending is not None:
+            finish(pending)
+        pending = (i, nxt)
+    if pending is not None:
+        finish(pending)
     with open(out_json, "w") as f:
         json.dump(results, f, indent=8)
     return results

@@ -32,6 +32,27 @@ class ReducedStream:
     final_count: int   # expected kept frames (n_frames * fps // orig_fps)
     height: int
     width: int
+    cap: object = None  # cv2.VideoCapture when backed by a real decoder
+
+    def picks(self, kept: int) -> np.ndarray:
+        """Original-frame indices of the first ``kept`` yielded frames —
+        THE picks contract (pick i is original frame i*step; the
+        ``np.asarray`` of a Python int list reproduces the reference's
+        eager loop exactly, including the float64 empty-list dtype
+        corner)."""
+        return np.asarray([i * self.step for i in range(kept)])
+
+    def close(self) -> None:
+        """Release the decoder immediately (otherwise it is released when
+        the generator is exhausted or garbage-collected; a generator
+        closed before its first next() never enters its body, so the
+        capture handle is also released directly — release is
+        idempotent)."""
+        close = getattr(self.frames, "close", None)
+        if close is not None:  # plain iterators (tests) have no close()
+            close()
+        if self.cap is not None:
+            self.cap.release()
 
 
 def iter_reduced_frames(video_path: str, fps: int = 2) -> ReducedStream:
@@ -68,18 +89,22 @@ def iter_reduced_frames(video_path: str, fps: int = 2) -> ReducedStream:
             cap.release()
 
     return ReducedStream(frames=gen(), n_frames=n_frames, step=step,
-                         final_count=final_count, height=height, width=width)
+                         final_count=final_count, height=height, width=width,
+                         cap=cap)
 
 
 def reduce_fps(video_path: str, fps: int = 2
                ) -> Tuple[np.ndarray, np.ndarray, int]:
     rs = iter_reduced_frames(video_path, fps)
-    frames = list(rs.frames)
-    if frames:
-        arr = np.stack(frames)
-    else:
-        arr = np.zeros((0, rs.height, rs.width, 3), dtype=np.uint8)
-    # np.asarray of a Python int list reproduces the eager loop's picks
-    # array exactly, including the float64 empty-list dtype corner
-    picks = np.asarray([i * rs.step for i in range(len(frames))])
-    return arr, picks, rs.n_frames
+    # fill a preallocated buffer (not list+stack): full-res frame stacks are
+    # the peak-memory item of dataset builds, and stacking would double it
+    arr = np.zeros((max(rs.final_count, 0), rs.height, rs.width, 3),
+                   dtype=np.uint8)
+    kept = 0
+    try:
+        for f in rs.frames:
+            arr[kept] = f
+            kept += 1
+    finally:
+        rs.close()
+    return arr[:kept], rs.picks(kept), rs.n_frames
