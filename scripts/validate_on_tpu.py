@@ -327,7 +327,12 @@ def main() -> None:
 
     # bf16 k/v through the fused ring step (ADVICE r1: the in-kernel
     # f32 upcast was only exercised at f32 on real Mosaic) — must stay
-    # within bf16 rounding of the all-f32 ring
+    # within bf16 rounding of the all-f32 ring. On chip the diff is
+    # exactly 0: the default-precision MXU rounds f32 matmul operands to
+    # bf16 anyway, so pre-rounded k/v produce the identical program
+    # output (the CPU harness, with true-f32 matmuls, shows ~3.4e-3);
+    # the check's value here is that the bf16-input Mosaic compile and
+    # execution path works at all
     out_b = np.asarray(ring_p(qr, kr.astype(jnp.bfloat16),
                               vr.astype(jnp.bfloat16), mr))
     bdiff = np.abs(out_b - out_p).max()
