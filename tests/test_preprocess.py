@@ -247,3 +247,46 @@ def test_convert_backbones_selftest(tmp_path):
     feats = ex.frames(video, size=64)
     assert feats.shape == (3, 1024)
     assert np.isfinite(feats).all()
+
+
+def test_frames_stream_matches_eager_batching():
+    """frames_stream (the dataset builder's streaming path — never
+    materializes the raw frame stack) must be bit-identical to the
+    original eager implementation: resize whole video, slice batches of
+    batch_size from index 0, zero-pad the tail batch."""
+    from vidsum_tpu.preprocess.extract import FeatureExtractor
+    from vidsum_tpu.preprocess.transforms import resize_video
+
+    ex = FeatureExtractor("google", batch_size=4)
+    rng = np.random.default_rng(3)
+    video = rng.integers(0, 256, (10, 48, 64, 3), dtype=np.uint8)
+
+    # the pre-refactor eager implementation, inlined as the oracle
+    x = resize_video(video, 64)
+    outs = []
+    for start in range(0, x.shape[0], ex.batch_size):
+        chunk = x[start:start + ex.batch_size]
+        pad = ex.batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        out = np.asarray(ex._jitted(ex.params, chunk))
+        outs.append(out[: ex.batch_size - pad if pad else None])
+    oracle = np.concatenate(outs).astype(np.float32)
+
+    assert np.array_equal(ex.frames(video, size=64), oracle)
+    assert np.array_equal(ex.frames_stream(iter(video), size=64), oracle)
+    # empty stream: (0, 1024), no crash
+    assert ex.frames_stream(iter([]), size=64).shape == (0, 1024)
+
+
+def test_clip_resized_matches_clip():
+    from vidsum_tpu.preprocess.extract import FeatureExtractor
+    from vidsum_tpu.preprocess.transforms import resize_video
+
+    ex = FeatureExtractor("r3d18")
+    rng = np.random.default_rng(4)
+    video = rng.integers(0, 256, (6, 48, 64, 3), dtype=np.uint8)
+    a = ex.clip(video, size=48)
+    b = ex.clip_resized(resize_video(video, 48))
+    assert np.array_equal(a, b) and a.shape == (512,)

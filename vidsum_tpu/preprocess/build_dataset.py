@@ -30,7 +30,8 @@ from vidsum_tpu.ops.kts import change_points_from_cps, kts_segmentation
 from vidsum_tpu.ops.segmentation import starts_to_bounds, uniform_segmentation
 from vidsum_tpu.preprocess.annotations import VideoAnnotation
 from vidsum_tpu.preprocess.extract import FeatureExtractor
-from vidsum_tpu.preprocess.reduce_fps import reduce_fps
+from vidsum_tpu.preprocess.reduce_fps import iter_reduced_frames
+from vidsum_tpu.preprocess.transforms import resize_shorter_side
 
 logger = logging.getLogger(__name__)
 
@@ -84,6 +85,17 @@ def build_video_entry(frames: np.ndarray, picks: np.ndarray, n_frames: int,
                       seg_mode: str = "kts", fps: int = 2) -> Dict:
     """All h5 fields for one video (+ optional 'video_rep')."""
     features = google.frames(frames)
+    video_rep = r3d.clip(frames) if r3d is not None else None
+    return entry_from_features(features, video_rep, picks, n_frames,
+                               annotation, seg_mode, fps)
+
+
+def entry_from_features(features: np.ndarray, video_rep,
+                        picks: np.ndarray, n_frames: int,
+                        annotation: Optional[VideoAnnotation],
+                        seg_mode: str = "kts", fps: int = 2) -> Dict:
+    """h5 fields from already-extracted features (the streaming build path
+    — :func:`build_video_entry` is the eager array-in wrapper)."""
     change_points = segment_video(features, n_frames, picks, seg_mode, fps)
     entry: Dict = {
         "features": features.astype(np.float32),
@@ -103,8 +115,8 @@ def build_video_entry(frames: np.ndarray, picks: np.ndarray, n_frames: int,
                                                       change_points, n_frames)
         entry["user_scores"] = user_scores
         entry["user_summary"] = user_summary
-    if r3d is not None:
-        entry["video_rep"] = r3d.clip(frames)
+    if video_rep is not None:
+        entry["video_rep"] = video_rep
     return entry
 
 
@@ -133,12 +145,32 @@ def build_dataset(video_dir: str, out_h5: str,
         for i, path in enumerate(paths):
             name = os.path.basename(path).rsplit(".", 1)[0]
             anno = annotations.get(name) if annotations else None
-            frames, picks, n_frames = reduce_fps(path, fps=fps)
-            if frames.shape[0] == 0:
+            # streaming decode: the raw reduced-fps frame stack (tens of
+            # GB for an hour of 1080p) is never materialized — each frame
+            # is resized as it decodes, GoogLeNet features accumulate per
+            # batch, and only the small 112-side resize is kept for R3D
+            rs = iter_reduced_frames(path, fps=fps)
+            r3d_buf: list = []
+
+            def tee(frames_iter, sink):
+                for fr in frames_iter:
+                    if r3d is not None:
+                        sink.append(resize_shorter_side(fr, 112))
+                    yield fr
+
+            try:
+                features = google.frames_stream(tee(rs.frames, r3d_buf))
+            finally:
+                rs.close()
+            if features.shape[0] == 0:
                 logger.warning("skipping empty video %s", path)
                 continue
-            entry = build_video_entry(frames, picks, n_frames, anno, google,
-                                      r3d, seg_mode, fps)
+            picks, n_frames = rs.picks(features.shape[0]), rs.n_frames
+            video_rep = (r3d.clip_resized(np.stack(r3d_buf))
+                         if r3d is not None else None)
+            del r3d_buf
+            entry = entry_from_features(features, video_rep, picks, n_frames,
+                                        anno, seg_mode, fps)
             key = f"video_{i}"
             g = f.create_group(key)
             for field, value in entry.items():

@@ -17,7 +17,9 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from vidsum_tpu.preprocess.transforms import device_normalize, resize_video
+from vidsum_tpu.preprocess.transforms import (
+    device_normalize, resize_shorter_side, resize_video,
+)
 
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -78,24 +80,53 @@ class FeatureExtractor:
     def frames(self, video: np.ndarray, size: int = 224) -> np.ndarray:
         """(T, H, W, 3) uint8 → (T, 1024) GoogLeNet pool5 features."""
         assert self.kind == "google"
-        x = resize_video(video, size)
-        outs = []
-        for start in range(0, x.shape[0], self.batch_size):
-            chunk = x[start:start + self.batch_size]
+        return self.frames_stream(iter(video), size)
+
+    def frames_stream(self, frame_iter, size: int = 224) -> np.ndarray:
+        """Iterator of (H, W, 3) uint8 frames → (T, 1024) pool5 features.
+
+        Streaming form of :meth:`frames` — bit-identical outputs (same
+        resize, same batch boundaries, same tail padding, same programs)
+        but peak host memory is one ``batch_size`` batch of resized frames
+        instead of the full video: a 1-hour 1080p video's raw reduced-fps
+        stack is tens of GB, which the offline dataset builder must never
+        materialize."""
+        assert self.kind == "google"
+        outs, buf = [], []
+
+        def embed(buf):
+            chunk = np.stack(buf)
             # pad the tail chunk to the batch size for a single XLA program
             pad = self.batch_size - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
             out = np.asarray(self._jitted(self.params, chunk))
-            outs.append(out[: self.batch_size - pad if pad else None])
+            return out[: self.batch_size - pad if pad else None]
+
+        for f in frame_iter:
+            buf.append(resize_shorter_side(f, size))
+            if len(buf) == self.batch_size:
+                outs.append(embed(buf))
+                buf = []
+        if buf:
+            outs.append(embed(buf))
+        if not outs:
+            d_out = 1024
+            return np.zeros((0, d_out), np.float32)
         return np.concatenate(outs).astype(np.float32)
 
     def clip(self, video: np.ndarray, size: int = 112) -> np.ndarray:
         """(T, H, W, 3) uint8 → (512,) R3D-18 clip embedding."""
         assert self.kind == "r3d18"
-        x = resize_video(video, size)[None]  # (1, T, h, w, 3) uint8
-        return np.asarray(self._jitted(self.params, x))[0].astype(np.float32)
+        return self.clip_resized(resize_video(video, size))
+
+    def clip_resized(self, resized: np.ndarray) -> np.ndarray:
+        """(T, h, w, 3) uint8 ALREADY resized (shorter side 112) → (512,)
+        R3D-18 clip embedding; lets a streaming decoder resize per frame."""
+        assert self.kind == "r3d18"
+        return np.asarray(
+            self._jitted(self.params, resized[None]))[0].astype(np.float32)
 
 
 @functools.lru_cache(maxsize=2)
