@@ -14,6 +14,7 @@ sites, spatial lags, batch indices, and seeds (correlation bounds at 5-6
 sigma of the null)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vidsum_tpu.ops.block_train import (
@@ -155,3 +156,94 @@ def test_ring_tile_consistency():
     full = _ring(shape=(2, 2, 256, 256))
     tile = _ring(q0=128, k0=64, shape=(2, 2, 64, 128))
     np.testing.assert_array_equal(tile, full[:, :, 128:192, 64:192])
+
+
+# ---- separable-mixing restructure is bit-identical to the legacy form ----
+# The hash family was rewritten (round 2) to multiply the row/col iotas on
+# (T,1)/(1,C) vectors and assemble the tile with one broadcast XOR. XOR
+# associativity makes that exactly the original full-tile arithmetic; these
+# tests pin it so a future tweak can't silently fork the mask family (which
+# would break exact-replay resume and dense-replay equality).
+
+def _legacy_hash_keep(seed, site, b, row0, shape, rate):
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            + jnp.uint32(site * 131071 + 17) * jnp.uint32(0x85EBCA77)
+            + jnp.uint32(b + 1) * jnp.uint32(0x27220A95))
+    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
+    return x >= jnp.uint32(threshold)
+
+
+def test_separable_hash_matches_legacy_bits():
+    for seed, site, b, row0, shape, rate in [
+        (7, S_RES1, 0, 0, (128, 512), 0.3),
+        (1234, S_ATTN * 8 + 3, 17, 384, (256, 128), 0.3),
+        (0, S_MLP, 2, 128, (128, 1024), 0.1),
+        (2 ** 31 - 1, S_RES2, 255, 896, (128, 256), 0.5),
+    ]:
+        new = np.asarray(_hash_keep(
+            jnp.asarray(seed, jnp.int32), site, b, row0, shape, rate))
+        old = np.asarray(_legacy_hash_keep(
+            jnp.asarray(seed, jnp.int32), site, b, row0, shape, rate))
+        assert np.array_equal(new, old), (seed, site, b, row0, shape, rate)
+
+
+def test_separable_ring_and_3d_hashes_match_legacy_bits():
+    from vidsum_tpu.parallel.ring_attention import (
+        ring_hash_keep, hash_keep3d, _fmix_keep)
+
+    def legacy_ring(seed, b0, q0, k0, shape, rate):
+        ib = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        ih = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        ir = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+        ic = jax.lax.broadcasted_iota(jnp.uint32, shape, 3)
+        seed = jnp.asarray(seed).astype(jnp.uint32)
+        base = (seed * jnp.uint32(0x9E3779B1)
+                + (ih * jnp.uint32(131071) + jnp.uint32(17))
+                * jnp.uint32(0x85EBCA77)
+                + (jnp.uint32(b0) + ib + jnp.uint32(1))
+                * jnp.uint32(0x27220A95))
+        x = (base ^ ((jnp.uint32(q0) + ir) * jnp.uint32(0xC2B2AE3D))
+             ^ ((jnp.uint32(k0) + ic) * jnp.uint32(0x27D4EB2F)))
+        return _fmix_keep(x, rate)
+
+    def legacy_3d(seed, site, b0, row0, shape, rate):
+        ib = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        rows = (jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+                + jnp.uint32(row0))
+        cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+        seed = jnp.asarray(seed).astype(jnp.uint32)
+        base = (seed * jnp.uint32(0x9E3779B1)
+                + jnp.uint32(site * 131071 + 17) * jnp.uint32(0x85EBCA77)
+                + (jnp.uint32(b0) + ib + jnp.uint32(1))
+                * jnp.uint32(0x27220A95))
+        x = (base ^ (rows * jnp.uint32(0xC2B2AE3D))
+             ^ (cols * jnp.uint32(0x27D4EB2F)))
+        return _fmix_keep(x, rate)
+
+    for seed, b0, q0, k0, shape, rate in [
+        (1234, 3, 5, 7, (2, 2, 16, 32), 0.3),
+        (9, 0, 2560, 1280, (1, 4, 8, 128), 0.2),
+    ]:
+        new = np.asarray(ring_hash_keep(jnp.int32(seed), b0, q0, k0, shape,
+                                        rate))
+        old = np.asarray(legacy_ring(jnp.int32(seed), b0, q0, k0, shape,
+                                     rate))
+        assert np.array_equal(new, old)
+
+    for seed, site, b0, row0, shape, rate in [
+        (1234, 32, 2, 8, (3, 16, 32), 0.3),
+        (77, 34, 0, 2048, (2, 8, 256), 0.5),
+    ]:
+        new = np.asarray(hash_keep3d(jnp.int32(seed), site, b0, row0, shape,
+                                     rate))
+        old = np.asarray(legacy_3d(jnp.int32(seed), site, b0, row0, shape,
+                                   rate))
+        assert np.array_equal(new, old)

@@ -42,12 +42,16 @@ def _keep_mask(seed, b, h, tile_i, shape, rate: float):
     bit→element mapping is layout-dependent — observed delivering different
     masks to the two kernels) — and it runs under interpret mode too."""
     T, N = shape
-    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(
-        tile_i * T)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    # separable mixing: row/col multiplies on (T,1)/(1,N) vectors, one
+    # broadcast XOR builds the tile — bit-identical to full-tile iota
+    # products (XOR associativity) at ~6 fewer full-tile VPU ops
+    rows = ((jax.lax.broadcasted_iota(jnp.uint32, (T, 1), 0)
+             + jnp.uint32(tile_i * T)) * jnp.uint32(0xC2B2AE3D))
+    cols = (jax.lax.broadcasted_iota(jnp.uint32, (1, N), 1)
+            * jnp.uint32(0x27D4EB2F))
     base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
             + jnp.uint32(b * 1024 + h + 1) * jnp.uint32(0x85EBCA77))
-    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    x = (base ^ rows) ^ cols
     x ^= x >> 16
     x *= jnp.uint32(0x85EBCA6B)
     x ^= x >> 13

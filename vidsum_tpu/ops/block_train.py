@@ -46,14 +46,25 @@ PARAM_NAMES = ("wq", "bq", "wk", "bk", "wv", "bv", "wp", "bp",
 
 
 def _hash_keep(seed, site, b, row0, shape, rate: float):
-    """Keep mask for a (T, cols) tile whose global rows start at row0."""
+    """Keep mask for a (T, cols) tile whose global rows start at row0.
+
+    The coordinate mixing is separable, so the row/col multiplies run on
+    (T, 1) / (1, C) vectors and a single broadcast XOR assembles the full
+    (T, C) lattice — bit-identical to multiplying full-tile iotas (the
+    products are elementwise equal and XOR is associative) but it drops
+    ~6 full-tile VPU ops per mask, leaving only the xor + fmix finalizer
+    at tile size. Mask gen is the dominant dropout cost (PERF.md: the
+    whole dropout family is ~1.0 ms of the 5.1 ms flagship train step).
+    """
     T, C = shape
-    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row0)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
             + jnp.uint32(site * 131071 + 17) * jnp.uint32(0x85EBCA77)
             + jnp.uint32(b + 1) * jnp.uint32(0x27220A95))
-    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    rows = ((jax.lax.broadcasted_iota(jnp.uint32, (T, 1), 0)
+             + jnp.uint32(row0)) * jnp.uint32(0xC2B2AE3D))
+    cols = (jax.lax.broadcasted_iota(jnp.uint32, (1, C), 1)
+            * jnp.uint32(0x27D4EB2F))
+    x = (base ^ rows) ^ cols
     x ^= x >> 16
     x *= jnp.uint32(0x85EBCA6B)
     x ^= x >> 13
@@ -114,7 +125,7 @@ def _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads, scale,
     xq = xq_cd.astype(jnp.float32)
     q = _mm(xq_cd, w["wq"]) + w["bq"]                             # f32 accum
 
-    outs, heads = [], []
+    outs, heads, keeps = [], [], []
     for h in range(num_heads):
         sl = slice(h * Dh, (h + 1) * Dh)
         s = _mm(q[:, sl], k[:, sl], tb=True, cd=cd) * scale        # (T, N)
@@ -127,8 +138,10 @@ def _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads, scale,
         pd = _drop(p, keep, rate).astype(cd)
         outs.append(_mm(pd, v[:, sl]))
         if full:
-            heads.append(p)  # keep/pd are recomputed by the bwd (hash is
-                             # cheap; storing them costs ~2x the VMEM)
+            heads.append(p)   # pd is recomputed by the bwd from p + keep
+            keeps.append(keep)  # bool masks: cheap to retain, pricey to
+                                # rehash (the attention site is the largest
+                                # hash load in the step)
     attn = jnp.concatenate(outs, axis=1)                           # (T, d)
 
     proj = _mm(attn, w["wp"], cd=cd) + w["bp"]
@@ -144,12 +157,14 @@ def _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads, scale,
     keep2 = _hash_keep(seed, S_RES2, b, row0, m2.shape, rate)
     z2 = _drop(m2, keep2, rate) + h1
     out, xhat2, inv2 = _ln_fwd(z2, w["ln2s"], w["ln2b"])
-    # m1d / keep1 / keep2 / keepm / per-head keep+pd are NOT returned: the
-    # bwd recomputes them from a1 + the hash (absolute coordinates), which
-    # keeps the bwd kernel ~2 MB under the scoped-VMEM cliff it used to sit
-    # on (observed 16.11M > 16.00M limit at B=4/N=256/d=256 bf16).
-    return dict(xq=xq, xq_cd=xq_cd, q=q, heads=heads, attn=attn,
+    # The bool keep masks ARE returned (keeps/keep1/keepm/keep2) so the bwd
+    # never hashes a mask twice; m1d / per-head pd are still recomputed from
+    # a1/p + the masks (one relu/where each — cheaper to rebuild than to
+    # retain as f32). The old under-16MB-scoped-VMEM concern is gone: both
+    # kernels now carry explicit vmem_limit_bytes and the masks are i1.
+    return dict(xq=xq, xq_cd=xq_cd, q=q, heads=heads, keeps=keeps, attn=attn,
                 xhat1=xhat1, inv1=inv1, h1=h1, a1=a1,
+                keep1=keep1, keepm=keepm, keep2=keep2,
                 xhat2=xhat2, inv2=inv2, out=out)
 
 
@@ -222,13 +237,10 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
         t = _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads,
                           scale, rate, cd, tile=tile_q)
         do = do_ref[0, pl.ds(row0, tile_q), :].astype(jnp.float32)
-        d_cols = t["xq"].shape[-1]
 
-        # recompute the dropout masks + dropped MLP activation the forward
-        # no longer retains (absolute-coordinate hash => identical bits)
-        keep1 = _hash_keep(seed, S_RES1, b, row0, (tile_q, d_cols), rate)
-        keep2 = _hash_keep(seed, S_RES2, b, row0, (tile_q, d_cols), rate)
-        keepm = _hash_keep(seed, S_MLP, b, row0, t["a1"].shape, rate)
+        # masks come back from the forward recompute (hashed exactly once);
+        # the dropped MLP activation rebuilds from a1 + keepm (one relu/where)
+        keep1, keep2, keepm = t["keep1"], t["keep2"], t["keepm"]
         m1d = _drop(jnp.maximum(t["a1"], 0.0), keepm, rate)
 
         # LN2 backward
@@ -273,7 +285,7 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, *refs, num_heads, scale, rate,
         for h in range(num_heads):
             sl = slice(h * Dh, (h + 1) * Dh)
             p = t["heads"][h]
-            keep = _hash_keep(seed, S_ATTN * 8 + h, b, row0, p.shape, rate)
+            keep = t["keeps"][h]
             pd = _drop(p, keep, rate).astype(cd)
             do_h = dattn[:, sl]
             dv_acc[:, sl] += _mm(pd, do_h, ta=True, cd=cd)
@@ -333,7 +345,7 @@ def _group_forward(x_ref, w, mask_ref, seed, b0, G, num_heads, scale, rate,
     k = (_mm(xf_cd, w["wk"]) + w["bk"]).astype(cd)
     v = (_mm(xf_cd, w["wv"]) + w["bv"]).astype(cd)
 
-    groups, heads = [], []
+    groups, heads, keeps = [], [], []
     for g in range(G):
         key_mask = mask_ref[g] != 0                       # (1, N)
         rows = slice(g * N, (g + 1) * N)
@@ -351,6 +363,7 @@ def _group_forward(x_ref, w, mask_ref, seed, b0, G, num_heads, scale, rate,
             outs.append(_mm(pd, v[rows, sl]))
             if full:
                 heads.append(p)                           # index g*H + h
+                keeps.append(keep)
         groups.append(jnp.concatenate(outs, axis=1))
     attn = jnp.concatenate(groups, axis=0)                # (GN, d) f32
 
@@ -366,8 +379,9 @@ def _group_forward(x_ref, w, mask_ref, seed, b0, G, num_heads, scale, rate,
     keep2 = _group_keep(seed, S_RES2, b0, G, N, d, rate)
     z2 = _drop(m2, keep2, rate) + h1
     out, xhat2, inv2 = _ln_fwd(z2, w["ln2s"], w["ln2b"])
-    return dict(xf=xf, xf_cd=xf_cd, q=q, k=k, v=v, heads=heads, attn=attn,
-                xhat1=xhat1, inv1=inv1, h1=h1, a1=a1,
+    return dict(xf=xf, xf_cd=xf_cd, q=q, k=k, v=v, heads=heads, keeps=keeps,
+                attn=attn, xhat1=xhat1, inv1=inv1, h1=h1, a1=a1,
+                keep1=keep1, keepm=keepm, keep2=keep2,
                 xhat2=xhat2, inv2=inv2, out=out)
 
 
@@ -406,9 +420,8 @@ def _bwd_kernel_grouped(x_ref, mask_ref, seed_ref, *refs, num_heads, scale,
                        scale, rate, cd)
     do = do_ref[...].reshape(G * N, d).astype(jnp.float32)
 
-    keep1 = _group_keep(seed, S_RES1, b_cell, G, N, d, rate)
-    keep2 = _group_keep(seed, S_RES2, b_cell, G, N, d, rate)
-    keepm = _group_keep(seed, S_MLP, b_cell, G, N, t["a1"].shape[-1], rate)
+    # masks come back from the forward recompute (hashed exactly once)
+    keep1, keep2, keepm = t["keep1"], t["keep2"], t["keepm"]
     m1d = _drop(jnp.maximum(t["a1"], 0.0), keepm, rate)
 
     dz2, dg2, db2 = _ln_bwd(do, t["xhat2"], t["inv2"], w["ln2s"])
@@ -445,8 +458,7 @@ def _bwd_kernel_grouped(x_ref, mask_ref, seed_ref, *refs, num_heads, scale,
         for h in range(num_heads):
             sl = slice(h * Dh, (h + 1) * Dh)
             p = t["heads"][g * num_heads + h]
-            keep = _hash_keep(seed, S_ATTN * 8 + h, b_cell * G + g, 0,
-                              p.shape, rate)
+            keep = t["keeps"][g * num_heads + h]
             pd = _drop(p, keep, rate).astype(cd)
             do_h = dattn[rows, sl]
             dv_parts.append(_mm(pd, do_h, ta=True, cd=cd))

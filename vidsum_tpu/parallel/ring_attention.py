@@ -250,10 +250,14 @@ def ring_hash_keep(seed, b0, q0, k0, shape, rate: float):
     = head index) — the mask for a (b, h, query, key) pair depends only on
     its global coordinates and the seed, so it is identical on every ring
     shard and invariant to the mesh shape."""
-    ib = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    ih = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    ir = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
-    ic = jax.lax.broadcasted_iota(jnp.uint32, shape, 3)
+    B, H, Nq, Nk = shape
+    # separable mixing on per-axis vectors + broadcast combine — bit-
+    # identical to mixing full-shape iotas (XOR associativity; the sums/
+    # products are elementwise equal), far fewer full-shape VPU ops
+    ib = jax.lax.broadcasted_iota(jnp.uint32, (B, 1, 1, 1), 0)
+    ih = jax.lax.broadcasted_iota(jnp.uint32, (1, H, 1, 1), 1)
+    ir = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, Nq, 1), 2)
+    ic = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, Nk), 3)
     seed = jnp.asarray(seed).astype(jnp.uint32)
     base = (seed * jnp.uint32(0x9E3779B1)
             + (ih * jnp.uint32(131071) + jnp.uint32(17)) * jnp.uint32(0x85EBCA77)
@@ -269,14 +273,17 @@ def hash_keep3d(seed, site: int, b0, row0, shape, rate: float):
     offset ``row0``. Per fixed batch index this is bit-identical to the
     fused kernels' ``ops/block_train._hash_keep`` — same mixing, same site
     constants — so masks agree across shardings and with a dense replay."""
-    ib = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(row0)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    B, N, C = shape
+    ib = jax.lax.broadcasted_iota(jnp.uint32, (B, 1, 1), 0)
+    rows = ((jax.lax.broadcasted_iota(jnp.uint32, (1, N, 1), 1)
+             + jnp.uint32(row0)) * jnp.uint32(0xC2B2AE3D))
+    cols = (jax.lax.broadcasted_iota(jnp.uint32, (1, 1, C), 2)
+            * jnp.uint32(0x27D4EB2F))
     seed = jnp.asarray(seed).astype(jnp.uint32)
     base = (seed * jnp.uint32(0x9E3779B1)
             + jnp.uint32(site * 131071 + 17) * jnp.uint32(0x85EBCA77)
             + (jnp.uint32(b0) + ib + jnp.uint32(1)) * jnp.uint32(0x27220A95))
-    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    x = (base ^ rows) ^ cols
     return _fmix_keep(x, rate)
 
 
@@ -396,16 +403,19 @@ def _ring_keep_tile(seed, b_global, h, q_start, k0, shape, rate: float):
     """In-kernel keep mask for a (Tq, Nk) score tile — bit-identical to
     :func:`ring_hash_keep` at global coordinates (rows q_start+i, cols
     k0+j). All scalars arrive as traced int32; arithmetic is uint32."""
-    rows = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-            + q_start.astype(jnp.uint32))
-    cols = (jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            + k0.astype(jnp.uint32))
+    T, N = shape
+    # separable mixing (see ops/block_train._hash_keep): bit-identical to
+    # full-tile iota products, ~6 fewer full-tile VPU ops per mask
+    rows = ((jax.lax.broadcasted_iota(jnp.uint32, (T, 1), 0)
+             + q_start.astype(jnp.uint32)) * jnp.uint32(0xC2B2AE3D))
+    cols = ((jax.lax.broadcasted_iota(jnp.uint32, (1, N), 1)
+             + k0.astype(jnp.uint32)) * jnp.uint32(0x27D4EB2F))
     base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
             + (h.astype(jnp.uint32) * jnp.uint32(131071) + jnp.uint32(17))
             * jnp.uint32(0x85EBCA77)
             + (b_global.astype(jnp.uint32) + jnp.uint32(1))
             * jnp.uint32(0x27220A95))
-    x = base ^ (rows * jnp.uint32(0xC2B2AE3D)) ^ (cols * jnp.uint32(0x27D4EB2F))
+    x = (base ^ rows) ^ cols
     return _fmix_keep(x, rate)
 
 
