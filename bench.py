@@ -237,9 +237,10 @@ def main() -> None:
     g_params = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         init_googlenet(jax.random.PRNGKey(1)))
-    # B=256 is the measured batch-size sweet spot for the conv stack
-    # (scripts/sweep_googlenet_batch.py: ~24k f/s vs ~15k at B=64 on v5e)
-    GB, K_G = 256, 20
+    # B=128 is the measured batch-size sweet spot for the conv stack
+    # (scripts/sweep_googlenet_batch.py, length-differenced: 32.1k f/s vs
+    # 22.4k at B=64 and 25.6k at B=256 on v5e)
+    GB, K_G = 128, 20
     gx = jnp.asarray(rng.normal(size=(GB, 224, 224, 3)), jnp.bfloat16)
 
     @jax.jit

@@ -1,9 +1,10 @@
 """Sweep GoogLeNet pool5 embedding batch size on the real chip.
 
-bench.py's ``googlenet_fps`` row uses B=64 (≈31% MFU by a ~3 GFLOP/frame
-estimate); conv stacks usually want larger batches before XLA's layout
-choices saturate the MXU. One chain-differenced number per batch size,
-same methodology as bench.py (run on a QUIET host).
+Chain-LENGTH differenced (utils/chain_timing.time_per_iter): the same
+chained program at two lengths, so dispatch + fetch RPC cancel exactly.
+(An earlier revision differenced m sequential synchronous calls, which
+does NOT cancel the per-call ~25 ms relay RPC — rankings held, absolute
+numbers were biased low.) Run on a QUIET host.
 
 Usage: python scripts/sweep_googlenet_batch.py [--batches 32,64,128,256]
 """
@@ -22,14 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="32,64,128,256")
-    ap.add_argument("--k", type=int, default=20, help="chain length")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from vidsum_tpu.preprocess.googlenet import googlenet_apply, init_googlenet
+    from vidsum_tpu.utils.chain_timing import chain_scan, time_per_iter
 
     print("backend:", jax.default_backend())
     g_params = jax.tree_util.tree_map(
@@ -37,36 +37,19 @@ def main() -> None:
         init_googlenet(jax.random.PRNGKey(1)))
     rng = np.random.default_rng(0)
 
-    # RPC estimate (same form as bench.py's diff: m=1 vs m=3 dispatches)
-    def diff(run, n=3):
-        import time
-        np.asarray(run())  # warm
-        def sample(m):
-            out = []
-            for _ in range(n):
-                t0 = time.perf_counter()
-                for _ in range(m):
-                    np.asarray(run())
-                out.append(time.perf_counter() - t0)
-            return sorted(out)
-        t1, t3 = sample(1), sample(3)
-        return sorted((b - a) / 2 for a, b in zip(t1, t3))[0]
-
     for b in [int(s) for s in args.batches.split(",")]:
         gx = jnp.asarray(rng.normal(size=(b, 224, 224, 3)), jnp.bfloat16)
-        k = args.k
 
-        @jax.jit
-        def chain(p, x):
-            def body(carry, _):
-                out = googlenet_apply(p, x + carry)
-                return out.mean().astype(x.dtype) * 1e-12, ()
-            c, _ = lax.scan(body, jnp.zeros((), x.dtype), None, length=k)
-            return c
+        def step(carry, x):
+            out = googlenet_apply(g_params, x + carry)
+            return out.mean().astype(x.dtype) * 1e-12
 
-        t = diff(lambda: chain(g_params, gx))
-        fps = b * k / t
-        print(f"B={b:4d}: {t / k * 1e3:7.2f} ms/batch  {fps:10.1f} frames/s")
+        k1, k2 = (8, 24) if b >= 128 else (16, 48)
+        best, med = time_per_iter(lambda k: chain_scan(step, k),
+                                  (jnp.zeros((), gx.dtype), gx),
+                                  k1=k1, k2=k2, samples=4)
+        print(f"B={b:4d}: {best * 1e3:7.2f} ms/batch (med {med * 1e3:.2f})  "
+              f"{b / best:10.1f} frames/s")
 
 
 if __name__ == "__main__":

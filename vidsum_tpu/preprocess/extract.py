@@ -43,13 +43,13 @@ class FeatureExtractor:
                  compute_dtype: str = "float32"):
         import jax
 
-        # default batch: 256 on TPU — measured ~+60% over 64 for GoogLeNet
-        # pool5 on v5e (scripts/sweep_googlenet_batch.py: 24.0k vs 15.0k
-        # frames/s; B=512 regresses). Conv stacks want >=128-row batches
-        # before XLA's layouts saturate the MXU. 64 elsewhere: an XLA:CPU
-        # B=256 conv program compiles slowly on the test harness.
+        # default batch: 128 on TPU — the measured GoogLeNet pool5 sweet
+        # spot on v5e (scripts/sweep_googlenet_batch.py, chain-length
+        # differenced: 24.9 / 22.4 / 32.1 / 25.6 k frames/s at B = 32 /
+        # 64 / 128 / 256). 64 elsewhere: big XLA:CPU conv programs compile
+        # slowly on the test harness.
         if batch_size is None:
-            batch_size = 256 if jax.default_backend() == "tpu" else 64
+            batch_size = 128 if jax.default_backend() == "tpu" else 64
         self.kind = kind
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
