@@ -92,6 +92,11 @@ def _flash_attention(q, k, v, pad_mask, scale: float, interpret: bool):
             bytes_accessed=4 * B * H * N * Dh * q.dtype.itemsize,
             transcendentals=B * H * N * N,
         ),
+        # long-context: K/V (N, Dh) + the (TILE_Q, N) f32 score tile out-
+        # grow Mosaic's conservative 16 MB default scoped-VMEM cap past
+        # N≈16k; v5e has 128 MB VMEM per core
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, pad_mask)
 

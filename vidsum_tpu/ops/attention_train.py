@@ -164,6 +164,12 @@ def _forward(q, k, v, mask, seed, scale, rate, interpret):
         out_specs=(qkv, lspec),
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct((B, H, 1, N), jnp.float32)),
+        # long-context: the (TILE, N) f32 score/mask tiles + resident K/V
+        # trip the 16 MB default scoped-VMEM cap past N≈8k (observed: the
+        # N=10240 train step silently lost this kernel to the XLA dense
+        # fallback, 10× slower); v5e has 128 MB VMEM per core
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, mask, seed)
 
@@ -183,6 +189,8 @@ def _backward(q, k, v, mask, seed, lse, do, scale, rate, interpret):
                         for _ in range(3)),
         scratch_shapes=[pltpu.VMEM((N, Dh), jnp.float32),
                         pltpu.VMEM((N, Dh), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, mask, seed, lse, do)
 
