@@ -229,6 +229,33 @@ def _pick_tile(N: int) -> int:
     return TILE_Q
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _working_set_bytes(B: int, N: int, d: int, itm: int, tile_q: int) -> int:
+    """VMEM estimate for one grid cell: x + K + V (N, d) + weights (~9d²)
+    + score/hidden tiles; beyond ~12 MB the Mosaic allocator will fail.
+    The grouped path instead keeps x/K/V/Q, attn and the (GN, 4d) MLP
+    activation resident for G·N rows."""
+    grp = _pick_group(B, N)
+    if grp > 1:
+        rows = grp * N
+        return (3 * rows * d * itm + 9 * d * d * itm
+                + 4 * rows * d * 2 + 4 * rows * 4 * d + 4 * N * N)
+    return (3 * N * d * itm + 9 * d * d * itm
+            + 4 * tile_q * N + 4 * tile_q * 4 * d)
+
+
+def fused_block_supported(B: int, N: int, d: int, itemsize: int = 4) -> bool:
+    """True when :func:`fused_encoder_block`'s VMEM guard admits this shape
+    (callers demote to the flash-attention kernels past it — e.g. the
+    long-video dense path at N ≳ 8k, d=256)."""
+    if N % 128 != 0:
+        return False
+    return _working_set_bytes(B, N, d, itemsize,
+                              _pick_tile(N)) <= _VMEM_BUDGET
+
+
 def fused_encoder_block(block_params: Dict[str, Any], x: jnp.ndarray,
                         pad_mask, num_heads: int, scale: float,
                         tile_q: int = 0) -> jnp.ndarray:
@@ -243,21 +270,8 @@ def fused_encoder_block(block_params: Dict[str, Any], x: jnp.ndarray,
         tile_q = _pick_tile(N)
     if N % tile_q != 0:
         raise ValueError(f"N={N} must be a multiple of {tile_q}")
-    # VMEM guard: x + K + V (N, d) + weights (~9d² + 2 score/hidden tiles);
-    # beyond ~12 MB the Mosaic allocator will fail — refuse early with a
-    # clear error (callers then use attn_impl='pallas' or 'xla'). The
-    # grouped path instead keeps x/K/V/Q, attn and the (GN, 4d) MLP
-    # activation resident for G·N rows.
-    itm = x.dtype.itemsize
-    grp = _pick_group(B, N)
-    if grp > 1:
-        rows = grp * N
-        vmem = (3 * rows * d * itm + 9 * d * d * itm
-                + 4 * rows * d * 2 + 4 * rows * 4 * d + 4 * N * N)
-    else:
-        vmem = (3 * N * d * itm + 9 * d * d * itm
-                + 4 * tile_q * N + 4 * tile_q * 4 * d)
-    if vmem > 12 * 1024 * 1024:
+    vmem = _working_set_bytes(B, N, d, x.dtype.itemsize, tile_q)
+    if vmem > _VMEM_BUDGET:
         raise ValueError(
             f"fused block working set ~{vmem >> 20} MB exceeds VMEM at "
             f"N={N}, d={d}; use attn_impl='pallas' for this shape")

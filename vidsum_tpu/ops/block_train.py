@@ -668,6 +668,25 @@ def _backward(x, mask, seed, flat_w, do, num_heads, scale, rate, interpret):
     return out[0], out[1:]
 
 
+def fused_block_train_supported(B: int, N: int, d: int,
+                                num_heads: int) -> bool:
+    """True when the TRAIN kernels' backward working set fits the 96 MB
+    scoped-VMEM cap. Dominant terms per grid cell: x/K/V/do + dk/dv/dx
+    accumulators (8 × (N, d) f32), the per-head retained softmax + keep
+    masks (H × (tile, N), f32 + i8), the (tile, 4d) MLP tiles, and the
+    f32 weight+grad blocks (2 × 9d²). Measured edges on v5e (d=256, H=4):
+    N=5120 runs (~60 MB estimate), N=10240 fails (~110 MB) — callers
+    demote to attn_impl='pallas' (flash kernels, XLA block) past this."""
+    if N % 128 != 0:
+        return False
+    tile = _pick_bwd_tile(N)
+    est = (8 * N * d * 4
+           + num_heads * tile * N * 5
+           + 2 * tile * 4 * d * 4
+           + 2 * 9 * d * d * 4)
+    return est <= 88 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_block_train(x, block_params, mask, seed, num_heads: int,
                       scale: float, rate: float):
