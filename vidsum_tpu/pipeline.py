@@ -47,8 +47,11 @@ def _score_program(google_params, scorer_params, cfg: ModelConfig,
     x = device_normalize(frames, "google").astype(cfg.compute_dtype)
     feats = googlenet_apply(google_params, x)
     pad_mask = (jnp.arange(frames.shape[0]) >= n_real)[None]
+    # fused block kernels on TPU; simnet_apply demotes to the flash
+    # kernels past their VMEM envelope, so any N is safe here
+    impl = "pallas_block" if jax.default_backend() == "tpu" else "xla"
     scores, _ = simnet_apply(scorer_params, cfg, feats.astype(jnp.float32)[None],
-                             pad_mask, deterministic=True)
+                             pad_mask, deterministic=True, attn_impl=impl)
     return jax.nn.sigmoid(scores[0, :, 0]), feats
 
 
