@@ -70,7 +70,9 @@ def _block_kernel(x_ref, mask_ref,
             s = jnp.where(key_mask, -jnp.inf, s)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=1, keepdims=True)
+            # reciprocal-broadcast normalize: a (T,1) divide + (T,N)
+            # multiply instead of a many-cycle full-tile divide (~1 ulp)
+            p = e * (1.0 / jnp.sum(e, axis=1, keepdims=True))
             outs.append(jax.lax.dot_general(
                 p.astype(x.dtype), v[:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))                # (T, Dh)
@@ -130,7 +132,7 @@ def _block_kernel_grouped(x_ref, mask_ref,
             s = jnp.where(key_mask, -jnp.inf, s)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=1, keepdims=True)
+            p = e * (1.0 / jnp.sum(e, axis=1, keepdims=True))
             outs.append(jax.lax.dot_general(
                 p.astype(xf.dtype), v[rows, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))          # (N, Dh)

@@ -133,15 +133,27 @@ def _tile_forward(x_ref, w, key_mask, seed, b, i, k, v, num_heads, scale,
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         l = jnp.sum(e, axis=1, keepdims=True)
-        p = e / l
-        keep = _hash_keep(seed, S_ATTN * 8 + h, b, row0, p.shape, rate)
-        pd = _drop(p, keep, rate).astype(cd)
-        outs.append(_mm(pd, v[:, sl]))
+        # softmax normalize via reciprocal broadcast: the (T, 1) divide +
+        # (T, N) multiply replaces a full-tile divide (the VPU's divide is
+        # many-cycle; this path is off the MXU and on the critical ~2 ms
+        # of non-MXU step time). ~1 ulp vs e / l; the fwd kernel further
+        # folds the dropout keep-scale into the row factor and never
+        # forms p at all.
+        linv = 1.0 / l                                             # (T, 1)
+        keep = _hash_keep(seed, S_ATTN * 8 + h, b, row0, e.shape, rate)
         if full:
+            p = e * linv
+            pd = _drop(p, keep, rate).astype(cd)
             heads.append(p)   # pd is recomputed by the bwd from p + keep
             keeps.append(keep)  # bool masks: cheap to retain, pricey to
                                 # rehash (the attention site is the largest
                                 # hash load in the step)
+        elif rate > 0.0:
+            pd = (jnp.where(keep, e, 0.0)
+                  * (linv * (1.0 / (1.0 - rate)))).astype(cd)
+        else:
+            pd = (e * linv).astype(cd)
+        outs.append(_mm(pd, v[:, sl]))
     attn = jnp.concatenate(outs, axis=1)                           # (T, d)
 
     proj = _mm(attn, w["wp"], cd=cd) + w["bp"]
@@ -356,14 +368,21 @@ def _group_forward(x_ref, w, mask_ref, seed, b0, G, num_heads, scale, rate,
             s = jnp.where(key_mask, NEG_INF, s)
             m = jnp.max(s, axis=1, keepdims=True)
             e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=1, keepdims=True)
-            keep = _hash_keep(seed, S_ATTN * 8 + h, b0 * G + g, 0, p.shape,
+            # reciprocal-broadcast normalize (see _tile_forward)
+            linv = 1.0 / jnp.sum(e, axis=1, keepdims=True)
+            keep = _hash_keep(seed, S_ATTN * 8 + h, b0 * G + g, 0, e.shape,
                               rate)
-            pd = _drop(p, keep, rate).astype(cd)
-            outs.append(_mm(pd, v[rows, sl]))
             if full:
+                p = e * linv
+                pd = _drop(p, keep, rate).astype(cd)
                 heads.append(p)                           # index g*H + h
                 keeps.append(keep)
+            elif rate > 0.0:
+                pd = (jnp.where(keep, e, 0.0)
+                      * (linv * (1.0 / (1.0 - rate)))).astype(cd)
+            else:
+                pd = (e * linv).astype(cd)
+            outs.append(_mm(pd, v[rows, sl]))
         groups.append(jnp.concatenate(outs, axis=1))
     attn = jnp.concatenate(groups, axis=0)                # (GN, d) f32
 
