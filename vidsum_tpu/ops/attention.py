@@ -67,6 +67,93 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
     jax.lax.fori_loop(0, n_q_tiles, tile, 0)
 
 
+_DEAD = -1e37  # rows below this max have seen no unmasked key yet
+
+
+def _attention_kernel_folded(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                             scale: float, n_q_tiles: int, kb: int,
+                             n_kb: int):
+    """Key-block-folded variant for long sequences: K/V stay resident
+    (O(N·Dh), a few MB even at 100k keys) but scores are computed per
+    (TILE_Q, kb) block and folded into an online-softmax carry — the
+    (TILE_Q, N) f32 score tile that capped the single-pass kernel never
+    exists. Same fold arithmetic as the ring-step kernel
+    (parallel/ring_attention._ring_block_kernel); with n_kb == 1 this
+    reduces to the stable single-pass softmax."""
+    def tile(i, _):
+        q = q_ref[0, 0, pl.ds(i * TILE_Q, TILE_Q), :]          # (Tq, Dh)
+
+        def fold(j, carry):
+            o, m, l = carry
+            kblk = k_ref[0, 0, pl.ds(j * kb, kb), :]           # (kb, Dh)
+            vblk = v_ref[0, 0, pl.ds(j * kb, kb), :]
+            mblk = mask_ref[0, :, pl.ds(j * kb, kb)] != 0      # (1, kb)
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale    # (Tq, kb)
+            s = jnp.where(mblk, NEG_INF, s)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            dead = m_new < _DEAD
+            m_safe = jnp.where(dead, 0.0, m_new)
+            e = jnp.where(dead, 0.0, jnp.exp(s - m_safe))
+            corr = jnp.where(m < _DEAD, 0.0, jnp.exp(m - m_safe))
+            l = l * corr + jnp.sum(e, axis=1, keepdims=True)
+            o = o * corr + jax.lax.dot_general(
+                e.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return o, m_new, l
+
+        o, m, l = jax.lax.fori_loop(
+            0, n_kb, fold,
+            (jnp.zeros((TILE_Q, q_ref.shape[-1]), jnp.float32),
+             jnp.full((TILE_Q, 1), NEG_INF, jnp.float32),
+             jnp.zeros((TILE_Q, 1), jnp.float32)))
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o = jnp.where(l == 0.0, 0.0, o * (1.0 / l_safe))
+        o_ref[0, 0, pl.ds(i * TILE_Q, TILE_Q), :] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_q_tiles, tile, 0)
+
+
+def _pick_key_block(N: int) -> int:
+    """Largest 128-multiple divisor of N capped at 4096 (the score-tile
+    budget: TILE_Q × kb f32 ≈ 2 MB at the cap)."""
+    for kb in (4096, 2048, 1024, 512, 256, 128):
+        if N % kb == 0:
+            return kb
+    return TILE_Q
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "kb"))
+def _flash_attention_folded(q, k, v, pad_mask, scale: float, interpret: bool,
+                            kb: int):
+    B, H, N, Dh = q.shape
+    grid = (B, H)
+    qkv_spec = pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, N), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    pad_mask = pad_mask.astype(jnp.int8)[:, None, :]
+    kernel = functools.partial(_attention_kernel_folded, scale=scale,
+                               n_q_tiles=N // TILE_Q, kb=kb, n_kb=N // kb)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * N * N * Dh,
+            bytes_accessed=4 * B * H * N * Dh * q.dtype.itemsize,
+            transcendentals=B * H * N * N,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, pad_mask)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _flash_attention(q, k, v, pad_mask, scale: float, interpret: bool):
     B, H, N, Dh = q.shape
@@ -111,15 +198,25 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     guarantee this); other shapes fall back to the XLA dense path.
     """
     B, H, N, Dh = q.shape
-    # VMEM guard: a grid cell holds q/k/v/o (N, Dh) + one (TILE_Q, N) fp32
-    # score tile; beyond ~12 MB fall back to the dense path
-    vmem = 4 * N * Dh * q.dtype.itemsize + 4 * TILE_Q * N
-    if N % TILE_Q != 0 or vmem > 12 * 1024 * 1024:
+    if N % TILE_Q != 0:
         return _xla_attention(q, k, v, pad_mask, scale)
     if pad_mask is None:
         pad_mask = jnp.zeros((B, N), bool)
     interpret = jax.default_backend() != "tpu"
-    return _flash_attention(q, k, v, pad_mask, scale, interpret)
+    # single-pass kernel while q/k/v/o (N, Dh) + one (TILE_Q, N) fp32 score
+    # tile fit comfortably; past that, the key-block-folded kernel keeps
+    # only K/V resident (previously this case silently fell back to XLA
+    # dense — 107 ms vs the kernel at N=20480, and HBM-OOM at 40960)
+    vmem_single = 4 * N * Dh * q.dtype.itemsize + 4 * TILE_Q * N
+    if vmem_single <= 12 * 1024 * 1024:
+        return _flash_attention(q, k, v, pad_mask, scale, interpret)
+    kb = _pick_key_block(N)
+    vmem_folded = (4 * N * Dh * q.dtype.itemsize + 6 * TILE_Q * kb * 4
+                   + 2 * TILE_Q * Dh * 4)
+    if vmem_folded <= 80 * 1024 * 1024:
+        return _flash_attention_folded(q, k, v, pad_mask, scale, interpret,
+                                       kb)
+    return _xla_attention(q, k, v, pad_mask, scale)
 
 
 def _xla_attention(q, k, v, pad_mask, scale):
