@@ -169,3 +169,66 @@ def test_training_step_through_pallas_dropout_attention():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+# ---- key-block-folded train kernels (long-context path) --------------------
+
+def test_keep_mask_block_matches_full_width():
+    """The folded kernels' per-block mask must be bit-identical to the
+    single-pass kernels' full-width mask at the same global coordinates."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vidsum_tpu.ops.attention_train import TILE, _keep_mask, _keep_mask_block
+
+    seed = jnp.asarray(77, jnp.int32)
+    full = np.asarray(_keep_mask(seed, 3, 2, 5, (TILE, 512), 0.3))
+    for j, kb in ((0, 128), (1, 128), (3, 128), (1, 256)):
+        blk = np.asarray(_keep_mask_block(seed, 3, 2, 5 * TILE, j * kb,
+                                          (TILE, kb), 0.3))
+        assert np.array_equal(blk, full[:, j * kb:(j + 1) * kb])
+
+
+def test_folded_train_kernels_match_dense_reference(monkeypatch):
+    """Force the folded fwd/bwd dispatch at a small shape (kb=128, several
+    blocks, padded tail) and check outputs AND grads against the dense
+    reference applying the identical hash mask."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vidsum_tpu.ops import attention_train as AT
+
+    monkeypatch.setattr(AT, "_single_pass_ok", lambda *a: False)
+    monkeypatch.setattr(AT, "_pick_key_block", lambda n: 128)
+
+    B, H, N, Dh = 2, 2, 512, 64
+    key = jax.random.PRNGKey(11)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, H, N, Dh),
+                                 jnp.float32) for i in range(3))
+    pad = jnp.stack([jnp.arange(N) >= 300, jnp.arange(N) >= 200])
+    mask8 = pad.astype(jnp.int8)[:, None, :]
+    seed = jnp.asarray([[9]], jnp.int32)
+    rate, scale = 0.3, float(Dh) ** -0.5
+    keep = AT.reference_keep_mask(9, B, H, N, rate)
+
+    out = AT.flash_attention_dropout(q, k, v, mask8, seed, rate, scale)
+    ref = AT.dropout_attention_reference(q, k, v, pad, keep, rate, scale)
+    for b, nr in ((0, 300), (1, 200)):
+        np.testing.assert_allclose(np.asarray(out[b, :, :nr]),
+                                   np.asarray(ref[b, :, :nr]),
+                                   rtol=2e-5, atol=2e-5)
+
+    def loss_f(q, k, v):
+        o = AT.flash_attention_dropout(q, k, v, mask8, seed, rate, scale)
+        return jnp.sum(jnp.where(~pad[:, None, :, None], o, 0.0) ** 2)
+
+    def loss_r(q, k, v):
+        o = AT.dropout_attention_reference(q, k, v, pad, keep, rate, scale)
+        return jnp.sum(jnp.where(~pad[:, None, :, None], o, 0.0) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")

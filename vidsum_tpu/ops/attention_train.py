@@ -61,6 +61,28 @@ def _keep_mask(seed, b, h, tile_i, shape, rate: float):
     return x >= jnp.uint32(threshold)
 
 
+def _keep_mask_block(seed, b, h, row0, col0, shape, rate: float):
+    """Same hash family as :func:`_keep_mask` but for a (T, kb) tile at
+    global (row0, col0) — bit-identical to the full-width mask's slice, so
+    the key-folded kernels and the single-pass kernels draw the same
+    bits."""
+    T, C = shape
+    rows = ((jax.lax.broadcasted_iota(jnp.uint32, (T, 1), 0)
+             + jnp.uint32(row0)) * jnp.uint32(0xC2B2AE3D))
+    cols = ((jax.lax.broadcasted_iota(jnp.uint32, (1, C), 1)
+             + jnp.uint32(col0)) * jnp.uint32(0x27D4EB2F))
+    base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            + jnp.uint32(b * 1024 + h + 1) * jnp.uint32(0x85EBCA77))
+    x = (base ^ rows) ^ cols
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
+    return x >= jnp.uint32(threshold)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref, lse_ref, *,
                 scale: float, rate: float, n_tiles: int):
     b, h = pl.program_id(0), pl.program_id(1)
@@ -139,6 +161,148 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, lse_ref, do_ref,
     dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Key-block-folded variants for long sequences (same design as the inference
+# ops/attention._attention_kernel_folded): K/V stay VMEM-resident while the
+# (TILE, N) f32 score tile is replaced by (TILE, kb) blocks. The forward
+# folds an online softmax with dropout applied to the OUTPUT accumulation
+# only (the denominator keeps raw e — elementwise equal to
+# dropout(softmax) @ v, the ring-train identity). The backward uses the
+# flash trick D_i = rowsum(do_i · o_i) (= rowsum(dp ⊙ p) even under
+# dropout, since o = Σ pd v), so one pass over key blocks suffices.
+# ---------------------------------------------------------------------------
+
+_DEAD = -1e37
+
+
+def _fwd_kernel_folded(q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref,
+                       lse_ref, *, scale: float, rate: float, n_tiles: int,
+                       kb: int, n_kb: int):
+    b, h = pl.program_id(0), pl.program_id(1)
+    seed = seed_ref[0, 0]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    Dh = q_ref.shape[-1]
+
+    def tile(i, _):
+        q = q_ref[0, 0, pl.ds(i * TILE, TILE), :]
+
+        def fold(j, carry):
+            o, m, l = carry
+            kblk = k_ref[0, 0, pl.ds(j * kb, kb), :]
+            vblk = v_ref[0, 0, pl.ds(j * kb, kb), :]
+            mblk = mask_ref[0, :, pl.ds(j * kb, kb)] != 0
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(mblk, NEG_INF, s)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            dead = m_new < _DEAD
+            m_safe = jnp.where(dead, 0.0, m_new)
+            e = jnp.where(dead, 0.0, jnp.exp(s - m_safe))
+            corr = jnp.where(m < _DEAD, 0.0, jnp.exp(m - m_safe))
+            l = l * corr + jnp.sum(e, axis=1, keepdims=True)
+            if rate > 0.0:
+                keep = _keep_mask_block(seed, b, h, i * TILE, j * kb,
+                                        e.shape, rate)
+                e_use = jnp.where(keep, e * inv, 0.0)
+            else:
+                e_use = e
+            o = o * corr + jax.lax.dot_general(
+                e_use.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return o, m_new, l
+
+        o, m, l = jax.lax.fori_loop(
+            0, n_kb, fold,
+            (jnp.zeros((TILE, Dh), jnp.float32),
+             jnp.full((TILE, 1), NEG_INF, jnp.float32),
+             jnp.zeros((TILE, 1), jnp.float32)))
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0, pl.ds(i * TILE, TILE), :] = (
+            jnp.where(l == 0.0, 0.0, o * (1.0 / l_safe)).astype(o_ref.dtype))
+        lse_ref[0, 0, :, pl.ds(i * TILE, TILE)] = (
+            jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+            .reshape(1, TILE))
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+def _bwd_kernel_folded(q_ref, k_ref, v_ref, mask_ref, seed_ref, lse_ref,
+                       do_ref, d_ref, dq_ref, dk_ref, dv_ref,
+                       dk_acc, dv_acc, *, scale: float, rate: float,
+                       n_tiles: int, kb: int, n_kb: int):
+    b, h = pl.program_id(0), pl.program_id(1)
+    seed = seed_ref[0, 0]
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    Dh = q_ref.shape[-1]
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def tile(i, _):
+        sl = pl.ds(i * TILE, TILE)
+        q = q_ref[0, 0, sl, :]
+        do = do_ref[0, 0, sl, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, sl].reshape(TILE, 1)
+        d_row = d_ref[0, 0, :, sl].reshape(TILE, 1)     # rowsum(do · o)
+        lse_safe = jnp.where(lse < _DEAD, 0.0, lse)
+        live = lse >= _DEAD
+
+        def fold(j, dq):
+            kblk = k_ref[0, 0, pl.ds(j * kb, kb), :]
+            vblk = v_ref[0, 0, pl.ds(j * kb, kb), :]
+            mblk = mask_ref[0, :, pl.ds(j * kb, kb)] != 0
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(mblk, NEG_INF, s)
+            p = jnp.where(live, jnp.exp(s - lse_safe), 0.0)   # (T, kb)
+            dpd = jax.lax.dot_general(
+                do, vblk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if rate > 0.0:
+                keep = _keep_mask_block(seed, b, h, i * TILE, j * kb,
+                                        p.shape, rate)
+                pd = jnp.where(keep, p * inv_keep, 0.0)
+                dp = jnp.where(keep, dpd * inv_keep, 0.0)
+            else:
+                pd = p
+                dp = dpd
+            dv_acc[pl.ds(j * kb, kb), :] += jax.lax.dot_general(
+                pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - d_row)
+            dq = dq + jax.lax.dot_general(
+                ds.astype(kblk.dtype), kblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk_acc[pl.ds(j * kb, kb), :] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            return dq
+
+        dq = jax.lax.fori_loop(0, n_kb, fold,
+                               jnp.zeros((TILE, Dh), jnp.float32))
+        dq_ref[0, 0, sl, :] = dq.astype(dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+    dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _pick_key_block(N: int) -> int:
+    for kb_ in (4096, 2048, 1024, 512, 256, 128):
+        if N % kb_ == 0:
+            return kb_
+    return TILE
+
+
+def _single_pass_ok(N: int, Dh: int, itemsize: int) -> bool:
+    """Single-pass budget: q/k/v/o (N, Dh) + (TILE, N) f32 score/mask
+    tiles per cell (mirrors ops/attention's 12 MB convention)."""
+    return (4 * N * Dh * itemsize + 5 * TILE * N) <= 12 * 1024 * 1024
+
+
 def _specs(B, H, N, Dh):
     qkv = pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -156,6 +320,21 @@ def _specs(B, H, N, Dh):
 def _forward(q, k, v, mask, seed, scale, rate, interpret):
     B, H, N, Dh = q.shape
     qkv, mspec, sspec, lspec = _specs(B, H, N, Dh)
+    if not _single_pass_ok(N, Dh, q.dtype.itemsize):
+        kb = _pick_key_block(N)
+        kernel = functools.partial(_fwd_kernel_folded, scale=scale,
+                                   rate=rate, n_tiles=N // TILE, kb=kb,
+                                   n_kb=N // kb)
+        return pl.pallas_call(
+            kernel, grid=(B, H),
+            in_specs=[qkv, qkv, qkv, mspec, sspec],
+            out_specs=(qkv, lspec),
+            out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                       jax.ShapeDtypeStruct((B, H, 1, N), jnp.float32)),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=interpret,
+        )(q, k, v, mask, seed)
     kernel = functools.partial(_fwd_kernel, scale=scale, rate=rate,
                                n_tiles=N // TILE)
     return pl.pallas_call(
@@ -172,6 +351,33 @@ def _forward(q, k, v, mask, seed, scale, rate, interpret):
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, mask, seed)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "rate", "interpret"))
+def _backward_folded(q, k, v, mask, seed, lse, do, o, scale, rate,
+                     interpret):
+    B, H, N, Dh = q.shape
+    qkv, mspec, sspec, lspec = _specs(B, H, N, Dh)
+    kb = _pick_key_block(N)
+    # the flash backward correction term: rowsum(do · o) == rowsum(dp ⊙ p)
+    # even under dropout (o = Σ pd v), so the key loop needs one pass
+    d_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)[:, :, None, :]                    # (B, H, 1, N)
+    kernel = functools.partial(_bwd_kernel_folded, scale=scale, rate=rate,
+                               n_tiles=N // TILE, kb=kb, n_kb=N // kb)
+    return pl.pallas_call(
+        kernel, grid=(B, H),
+        in_specs=[qkv, qkv, qkv, mspec, sspec, lspec, qkv, lspec],
+        out_specs=(qkv, qkv, qkv),
+        out_shape=tuple(jax.ShapeDtypeStruct(q.shape, q.dtype)
+                        for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((N, Dh), jnp.float32),
+                        pltpu.VMEM((N, Dh), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, mask, seed, lse, do, d_row)
 
 
 @functools.partial(jax.jit,
@@ -222,13 +428,22 @@ def _fwd_impl(q, k, v, mask, seed, rate, scale):
 
 def _vjp_fwd(q, k, v, mask, seed, rate, scale):
     o, lse = _fwd_impl(q, k, v, mask, seed, rate, scale)
-    return o, (q, k, v, mask, seed, lse)
+    # o is a residual only for the key-folded backward (its D = rowsum(do·o)
+    # correction); the single-pass path keeps its original residual set
+    folded = not _single_pass_ok(q.shape[2], q.shape[3], q.dtype.itemsize)
+    return o, (q, k, v, mask, seed, lse, o if folded else None)
 
 
 def _vjp_bwd(rate, scale, residuals, do):
-    q, k, v, mask, seed, lse = residuals
-    dq, dk, dv = _backward(q, k, v, mask, seed, lse, do.astype(q.dtype),
-                           scale, rate, _interpret())
+    q, k, v, mask, seed, lse, o = residuals
+    N, Dh = q.shape[2], q.shape[3]
+    if not _single_pass_ok(N, Dh, q.dtype.itemsize):
+        dq, dk, dv = _backward_folded(q, k, v, mask, seed, lse,
+                                      do.astype(q.dtype), o, scale, rate,
+                                      _interpret())
+    else:
+        dq, dk, dv = _backward(q, k, v, mask, seed, lse, do.astype(q.dtype),
+                               scale, rate, _interpret())
     return dq, dk, dv, None, None
 
 
