@@ -11,7 +11,10 @@ multiplies into the output tile — the N×N matrix never touches HBM.
 
 Video-summarization shapes (N ≤ 2560, head_dim 64) let each (b, h) cell hold
 full K/V in VMEM (≤ 2560·64·4B ≈ 0.7 MB), so no online-softmax rescaling pass
-is needed — one tile of scores (TILE_Q × N ≈ 1.3 MB fp32) is exact.
+is needed — one tile of scores (TILE_Q × N ≈ 1.3 MB fp32) is exact. Past the
+single-pass budget (N ≳ 16k) a key-block-folded variant keeps only K/V
+resident and folds (TILE_Q, kb) score blocks into an online-softmax carry,
+carrying arbitrary-length videos (PERF.md "long-context envelope").
 
 Inputs may be bf16 (the TPU AMP analogue); matmuls accumulate in fp32 via
 ``preferred_element_type`` and the softmax runs in fp32.
