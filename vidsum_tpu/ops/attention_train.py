@@ -172,7 +172,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, lse_ref, do_ref,
 # dropout, since o = Σ pd v), so one pass over key blocks suffices.
 # ---------------------------------------------------------------------------
 
-_DEAD = -1e37
+from vidsum_tpu.ops.attention import _DEAD, _pick_key_block  # shared
 
 
 def _fwd_kernel_folded(q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref,
@@ -288,13 +288,6 @@ def _bwd_kernel_folded(q_ref, k_ref, v_ref, mask_ref, seed_ref, lse_ref,
     jax.lax.fori_loop(0, n_tiles, tile, 0)
     dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
     dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
-
-
-def _pick_key_block(N: int) -> int:
-    for kb_ in (4096, 2048, 1024, 512, 256, 128):
-        if N % kb_ == 0:
-            return kb_
-    return TILE
 
 
 def _single_pass_ok(N: int, Dh: int, itemsize: int) -> bool:
