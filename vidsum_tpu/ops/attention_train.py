@@ -17,6 +17,11 @@ kernels and the mask never exists as a tensor:
   dq = ds k*scale, dk = ds^T q*scale, with dk/dv accumulated across query
   tiles in VMEM scratch.
 
+Past the single-pass VMEM budget (N ≳ 16k) key-block-folded variants take
+over (see the section below): the forward folds an online softmax over
+(TILE, kb) score blocks and the backward keeps one pass using
+D = rowsum(do·o) (o joins the residuals only on that path).
+
 Gradients are verified against a dense XLA attention applying the identical
 mask (dropout_attention_reference): exact comparison, no finite differences.
 """
