@@ -91,8 +91,8 @@ class EvalConfig:
     # — TPUs have no f64 units) and shot values reproduce numpy's float32
     # .mean(); selection ties resolve exactly like the reference
     # (include-on-equality, value-keyed backtrack). Measured record:
-    # 0 selected-shot mismatches vs the reference pipeline over 20,001
-    # fuzzed videos across two seeds incl. the adversarial
+    # 0 selected-shot mismatches vs the reference pipeline over 40,002
+    # fuzzed videos across four seeds incl. the adversarial
     # many-tiny-shots flavor (scripts/fuzz_reference_parity.py
     # --device-eval; PARITY.md), where the previous plain-f32 DP
     # mismatched 41/111 tiny-shots videos.
