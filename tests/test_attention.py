@@ -106,23 +106,39 @@ def test_folded_kernel_matches_dense_with_padding():
                                    rtol=2e-5, atol=2e-5)
 
 
-def test_folded_kernel_engages_past_single_pass_budget():
+def test_folded_kernel_engages_past_single_pass_budget(monkeypatch):
     """flash_attention must route past-12MB shapes to the folded kernel
-    (not XLA dense): spot-check output equality at a shape just over the
-    single-pass budget using a narrow Dh to keep the test cheap."""
-    import jax
+    (not XLA dense — the 107 ms/HBM-OOM regression this dispatch fixed).
+    Exercised end-to-end: a fat-Dh f32 shape keeps N small enough for
+    interpret mode while exceeding the single-pass budget; a delegating
+    spy proves the folded branch ran, and the output must equal dense."""
     import jax.numpy as jnp
     import numpy as np
 
     from vidsum_tpu.ops import attention as A
 
-    # vmem_single = 4*N*Dh*4 + 4*128*N > 12MB at N=4096, Dh=128 (f32):
-    # 4*4096*128*4 + 4*128*4096 = 8.4MB + 2.1MB < 12 — use N=8192 slices?
-    # keep it structural instead: verify the dispatch decision directly
+    B, H, N, Dh = 1, 1, 2816, 256        # 4*N*Dh*4 + 4*128*N = 13.0 MB
+    assert 4 * N * Dh * 4 + 4 * A.TILE_Q * N > 12 * 1024 * 1024
+    calls = []
+    real_folded = A._flash_attention_folded
+    monkeypatch.setattr(
+        A, "_flash_attention_folded",
+        lambda *a, **kw: (calls.append(a[-1]), real_folded(*a, **kw))[1])
+
+    rng = np.random.default_rng(12)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, N, Dh)), jnp.float32)
+               for _ in range(3))
+    pad = (jnp.arange(N) >= 2700)[None]
+    out = A.flash_attention(q, k, v, pad, scale=float(Dh) ** -0.5)
+    assert calls == [A._pick_key_block(N)]   # folded branch, chosen kb
+    ref = A._xla_attention(q, k, v, pad, scale=float(Dh) ** -0.5)
+    np.testing.assert_allclose(np.asarray(out[:, :, :2700]),
+                               np.asarray(ref[:, :, :2700]),
+                               rtol=2e-5, atol=2e-5)
+    # and the big-N structural facts the envelope relies on (bf16 flagship)
     N, Dh = 20480, 64
-    vmem_single = 4 * N * Dh * 2 + 4 * A.TILE_Q * N       # bf16 inputs
-    assert vmem_single > 12 * 1024 * 1024
+    assert 4 * N * Dh * 2 + 4 * A.TILE_Q * N > 12 * 1024 * 1024
     kb = A._pick_key_block(N)
     assert kb == 4096 and N % kb == 0
-    vmem_folded = 4 * N * Dh * 2 + 6 * A.TILE_Q * kb * 4 + 2 * A.TILE_Q * Dh * 4
-    assert vmem_folded <= 80 * 1024 * 1024
+    assert (4 * N * Dh * 2 + 6 * A.TILE_Q * kb * 4
+            + 2 * A.TILE_Q * Dh * 4) <= 80 * 1024 * 1024

@@ -189,7 +189,7 @@ def test_keep_mask_block_matches_full_width():
         assert np.array_equal(blk, full[:, j * kb:(j + 1) * kb])
 
 
-def test_folded_train_kernels_match_dense_reference(monkeypatch):
+def test_folded_train_kernels_match_dense_reference(monkeypatch, request):
     """Force the folded fwd/bwd dispatch at a small shape (kb=128, several
     blocks, padded tail) and check outputs AND grads against the dense
     reference applying the identical hash mask."""
@@ -199,6 +199,12 @@ def test_folded_train_kernels_match_dense_reference(monkeypatch):
 
     from vidsum_tpu.ops import attention_train as AT
 
+    # the patched predicates are read at TRACE time inside the jitted
+    # _forward/_backward*: clear jit caches so (a) no earlier compile of the
+    # same (shape, statics) key serves the single-pass kernel under our
+    # noses, and (b) the folded-forced entries don't leak to later tests
+    jax.clear_caches()
+    request.addfinalizer(jax.clear_caches)
     monkeypatch.setattr(AT, "_single_pass_ok", lambda *a: False)
     monkeypatch.setattr(AT, "_pick_key_block", lambda n: 128)
 
@@ -232,3 +238,28 @@ def test_folded_train_kernels_match_dense_reference(monkeypatch):
     for a, b, name in zip(gf, gr, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_past_folded_budget_raises_with_guidance():
+    """Beyond the key-folded kernels' VMEM budget there is no single-chip
+    training path (dense XLA needs the (B, H, N, N) tensor in HBM): the
+    dispatch must raise a descriptive error at trace time — not submit a
+    kernel the Mosaic allocator cannot place — and the public predicate
+    must gate exactly that envelope."""
+    import pytest
+
+    from vidsum_tpu.ops.attention_train import (
+        flash_attention_dropout, flash_train_supported)
+
+    # measured-envelope shapes: bf16 flagship N=20480 trains on one chip
+    assert flash_train_supported(20480, 64, 2)
+    # f32 past the folded backward's residency (~97 MB > the 88 MB guard)
+    N, Dh = 36864, 64
+    assert not flash_train_supported(N, Dh, 4)
+
+    args = (jax.ShapeDtypeStruct((1, 1, N, Dh), jnp.float32),) * 3 + (
+        jax.ShapeDtypeStruct((1, 1, N), jnp.int8),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32))
+    with pytest.raises(ValueError, match="seq_forward"):
+        jax.eval_shape(lambda q, k, v, m, s: flash_attention_dropout(
+            q, k, v, m, s, 0.3, Dh ** -0.5), *args)

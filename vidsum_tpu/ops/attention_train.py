@@ -20,7 +20,11 @@ kernels and the mask never exists as a tensor:
 Past the single-pass VMEM budget (N ≳ 16k) key-block-folded variants take
 over (see the section below): the forward folds an online softmax over
 (TILE, kb) score blocks and the backward keeps one pass using
-D = rowsum(do·o) (o joins the residuals only on that path).
+D = rowsum(do·o) (o joins the residuals only on that path). Past the
+FOLDED budget (``_folded_train_ok``) the dispatch raises a descriptive
+error — there is no single-chip fallback at those lengths (dense XLA would
+need the (B, H, N, N) tensor in HBM); ``flash_train_supported`` is the
+public predicate, and the sequence-parallel ring is the designed path.
 
 Gradients are verified against a dense XLA attention applying the identical
 mask (dropout_attention_reference): exact comparison, no finite differences.
@@ -45,25 +49,12 @@ def _keep_mask(seed, b, h, tile_i, shape, rate: float):
     generator-based, so the fwd and bwd kernels reconstruct bit-identical
     masks regardless of Mosaic's internal vector layouts (the hardware PRNG's
     bit→element mapping is layout-dependent — observed delivering different
-    masks to the two kernels) — and it runs under interpret mode too."""
-    T, N = shape
-    # separable mixing: row/col multiplies on (T,1)/(1,N) vectors, one
-    # broadcast XOR builds the tile — bit-identical to full-tile iota
-    # products (XOR associativity) at ~6 fewer full-tile VPU ops
-    rows = ((jax.lax.broadcasted_iota(jnp.uint32, (T, 1), 0)
-             + jnp.uint32(tile_i * T)) * jnp.uint32(0xC2B2AE3D))
-    cols = (jax.lax.broadcasted_iota(jnp.uint32, (1, N), 1)
-            * jnp.uint32(0x27D4EB2F))
-    base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-            + jnp.uint32(b * 1024 + h + 1) * jnp.uint32(0x85EBCA77))
-    x = (base ^ rows) ^ cols
-    x ^= x >> 16
-    x *= jnp.uint32(0x85EBCA6B)
-    x ^= x >> 13
-    x *= jnp.uint32(0xC2B2AE35)
-    x ^= x >> 16
-    threshold = min(int(rate * (1 << 32)), (1 << 32) - 1)
-    return x >= jnp.uint32(threshold)
+    masks to the two kernels) — and it runs under interpret mode too.
+
+    One hash family, one implementation: this is exactly the full-width
+    (col0 = 0) slice of :func:`_keep_mask_block`, so the single-pass and
+    key-folded kernels can never desynchronize their bits."""
+    return _keep_mask_block(seed, b, h, tile_i * shape[0], 0, shape, rate)
 
 
 def _keep_mask_block(seed, b, h, row0, col0, shape, rate: float):
@@ -301,6 +292,32 @@ def _single_pass_ok(N: int, Dh: int, itemsize: int) -> bool:
     return (4 * N * Dh * itemsize + 5 * TILE * N) <= 12 * 1024 * 1024
 
 
+def _folded_train_ok(N: int, Dh: int, itemsize: int) -> bool:
+    """Key-folded TRAIN budget (the backward is the binding pass): q/k/v/do
+    inputs and dq/dk/dv outputs at the input itemsize, two (N, Dh) f32
+    accumulator scratches, and the per-cell (TILE, kb) f32 score/e/keep
+    blocks must fit the kernels' 96 MB ``vmem_limit_bytes`` with headroom.
+    Mirrors the inference wrapper's 80 MB folded guard (ops/attention),
+    which demotes to XLA dense — here there is nothing to demote TO (dense
+    training needs the (B, H, N, N) weight tensor in HBM, infeasible long
+    before this cap), so the dispatch raises instead; the designed path for
+    these shapes is sequence parallelism (parallel/seq_forward)."""
+    kb = _pick_key_block(N)
+    resident = 7 * N * Dh * itemsize + 2 * N * Dh * 4
+    blocks = 6 * TILE * kb * 4 + 2 * TILE * Dh * 4
+    return resident + blocks <= 88 * 1024 * 1024
+
+
+def flash_train_supported(N: int, Dh: int, itemsize: int) -> bool:
+    """True when :func:`flash_attention_dropout` has a kernel for this
+    shape (single-pass or key-folded). Past it the single-chip dense
+    fallback is HBM-infeasible too — use the sequence-parallel ring
+    (parallel/seq_forward.py) or a shorter length bucket."""
+    return (N % TILE == 0
+            and (_single_pass_ok(N, Dh, itemsize)
+                 or _folded_train_ok(N, Dh, itemsize)))
+
+
 def _specs(B, H, N, Dh):
     qkv = pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -420,6 +437,19 @@ def _interpret():
 
 
 def _fwd_impl(q, k, v, mask, seed, rate, scale):
+    N, Dh = q.shape[2], q.shape[3]
+    if (not _single_pass_ok(N, Dh, q.dtype.itemsize)
+            and not _folded_train_ok(N, Dh, q.dtype.itemsize)):
+        # fail loudly at trace time instead of submitting a kernel the
+        # Mosaic allocator cannot place (measured envelope: PERF.md
+        # "Single-chip long-context envelope")
+        raise ValueError(
+            f"flash_attention_dropout: N={N}, Dh={Dh}, "
+            f"dtype={q.dtype} exceeds the key-folded train kernels' VMEM "
+            f"budget, and a dense-XLA fallback would need the (B, H, N, N) "
+            f"attention tensor in HBM — infeasible at this length. Train "
+            f"long sequences with the sequence-parallel ring "
+            f"(vidsum_tpu.parallel.seq_forward) or a shorter length bucket.")
     o, lse = _forward(q, k, v, mask, seed, scale, rate, _interpret())
     return o, lse
 

@@ -690,19 +690,36 @@ def _backward(x, mask, seed, flat_w, do, num_heads, scale, rate, interpret):
 def fused_block_train_supported(B: int, N: int, d: int,
                                 num_heads: int) -> bool:
     """True when the TRAIN kernels' backward working set fits the 96 MB
-    scoped-VMEM cap. Dominant terms per grid cell: x/K/V/do + dk/dv/dx
-    accumulators (8 × (N, d) f32), the per-head retained softmax + keep
-    masks (H × (tile, N), f32 + i8), the (tile, 4d) MLP tiles, and the
-    f32 weight+grad blocks (2 × 9d²). Measured edges on v5e (d=256, H=4):
-    N=5120 runs (~60 MB estimate), N=10240 fails (~110 MB) — callers
-    demote to attn_impl='pallas' (flash kernels, XLA block) past this."""
+    scoped-VMEM cap, modelling the branch :func:`_backward` actually
+    dispatches (mirrors ops/block_kernel._working_set_bytes).
+
+    Per-element branch (N >= 512) dominant terms per grid cell: x/K/V/do +
+    dk/dv/dx accumulators (8 × (N, d) f32), the per-head retained softmax +
+    keep masks (H × (tile, N), f32 + i8), the (tile, 4d) MLP tiles, and the
+    f32 weight+grad blocks (2 × 9d²). Grouped branch (N < 512, G =
+    ``_pick_train_group(B, N)`` batches per cell): the same (rows, d) and
+    (rows, 4d) terms at rows = G·N, plus the G·H retained (N, N) softmax +
+    keep tensors — bounded by construction (G·N <= 1024, ~25 MB worst
+    case), so no real shape demotes through this branch today; it exists so
+    the guard and the kernel can never desynchronize if the group policy
+    widens. Measured edges on v5e (d=256, H=4): N=5120 runs (~60 MB
+    estimate), N=10240 fails (~110 MB) — callers demote to
+    attn_impl='pallas' (flash kernels, XLA block) past this."""
     if N % 128 != 0:
         return False
-    tile = _pick_bwd_tile(N)
-    est = (8 * N * d * 4
-           + num_heads * tile * N * 5
-           + 2 * tile * 4 * d * 4
-           + 2 * 9 * d * d * 4)
+    g = _pick_train_group(B, N)
+    if g > 1:
+        rows = g * N
+        est = (8 * rows * d * 4
+               + num_heads * g * N * N * 5
+               + 2 * rows * 4 * d * 4
+               + 2 * 9 * d * d * 4)
+    else:
+        tile = _pick_bwd_tile(N)
+        est = (8 * N * d * 4
+               + num_heads * tile * N * 5
+               + 2 * tile * 4 * d * 4
+               + 2 * 9 * d * d * 4)
     return est <= 88 * 1024 * 1024
 
 
