@@ -103,7 +103,11 @@ def main() -> None:
                     done = (impl, per, fps)
                     break
                 except Exception as e:  # noqa: BLE001 — walk the fallbacks
-                    last = f"{type(e).__name__}"
+                    # full message, so envelope runs distinguish designed
+                    # demotion (guard ValueErrors) from real kernel bugs
+                    msg = " ".join(str(e).split())
+                    last = f"{type(e).__name__}: {msg[:300]}"
+                    print(f"    [{which}/{impl} failed: {last}]", flush=True)
             if done:
                 impl, per, fps = done
                 row.append(f"{which} [{impl}] {per * 1e3:8.2f} ms "

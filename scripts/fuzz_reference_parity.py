@@ -85,9 +85,10 @@ def main():
                               ref_upsample(scores, n_frames,
                                            np.asarray(picks))):
             mism["upsample"] += 1
-        if dev_summary is not None and _FLAVORS[i % len(_FLAVORS)] not in (
-                "nonmono", "overhang", "short_scores"):
-            # the device pipeline's contract covers DSNet-shaped inputs
+        if dev_summary is not None:
+            # all flavors: DSNet-shaped videos run the kernel; nonmono/
+            # overhang/short_scores violate device_eligible's contract and
+            # exercise the enforced host-oracle fallback routing
             checked["device_eval"] += 1
             dev = dev_summary([cp], [scores], [n_frames], [picks])[0]
             if not np.array_equal(dev, ref):

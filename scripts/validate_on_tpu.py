@@ -258,6 +258,43 @@ def main() -> None:
           f"RPC, NOT a benchmark (device path trades latency for on-chip "
           f"residency; host stays the oracle)")
 
+    # production-path selection equality (ADVICE r2 #1): the TPU scoring
+    # pipeline runs the bf16 fused block kernel while the 40k-video parity
+    # fuzz covers the CPU XLA impl — verify on-chip that pallas_block
+    # scores feed the knapsack into the SAME shot selections as xla scores
+    # for the same videos (score deltas ~1e-3 vs typical shot-score gaps
+    # ~1e-2; a selection flip here would mean the deployed path diverges
+    # from the fuzz-validated one on real inputs)
+    from vidsum_tpu.train.steps import make_eval_forward
+
+    cfg_sel = ModelConfig(d_model=256, num_heads=4, num_layers=4,
+                          dropout=0.0, compute_dtype="bfloat16")
+    p_sel = init_simnet(jax.random.PRNGKey(8), cfg_sel)
+    rng3 = np.random.default_rng(99)
+    sel_diff = 0
+    summaries = {}
+    for impl in ("xla", "pallas_block"):
+        fwd_sel = make_eval_forward(cfg_sel, attn_impl=impl)
+        sb_l, sc_l, nf_l, pk_l = [], [], [], []
+        for vi in range(8):
+            rv = np.random.default_rng(1000 + vi)
+            n = 256
+            feats = jnp.asarray(rv.normal(size=(1, n, 1024)), jnp.float32)
+            msk = jnp.zeros((1, n), bool)
+            sc = np.asarray(fwd_sel(p_sel, feats, msk))[0]
+            picks = np.arange(n) * 15
+            nf = int(picks[-1] + 8)
+            cuts = np.sort(rv.choice(np.arange(1, nf), 12, replace=False))
+            bounds = np.concatenate([[0], cuts, [nf]])
+            cp = np.stack([bounds[:-1], bounds[1:] - 1], axis=1)
+            sb_l.append(cp); sc_l.append(sc); nf_l.append(nf)
+            pk_l.append(picks)
+        summaries[impl] = generate_summary(sb_l, sc_l, nf_l, pk_l)
+    sel_diff = sum(not np.array_equal(a, b) for a, b in
+                   zip(summaries["xla"], summaries["pallas_block"]))
+    check("bf16 fused-path selections == xla-path selections (8 videos)",
+          sel_diff == 0, f"{sel_diff} differing summaries")
+
     # backbone golden features on the real chip (converter + XLA convs must
     # reproduce the committed fp64 torch-mirror goldens at f32 tolerance)
     goldens = os.path.join(os.path.dirname(os.path.dirname(

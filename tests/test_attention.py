@@ -142,3 +142,17 @@ def test_folded_kernel_engages_past_single_pass_budget(monkeypatch):
     assert kb == 4096 and N % kb == 0
     assert (4 * N * Dh * 2 + 6 * A.TILE_Q * kb * 4
             + 2 * A.TILE_Q * Dh * 4) <= 80 * 1024 * 1024
+
+
+def test_flash_attention_raises_past_folded_envelope():
+    """ADVICE r2 #3: past the key-folded kernel's VMEM envelope the dense
+    fallback cannot fit (B,H,N,N) in HBM — the dispatcher must fail loudly
+    with seq-parallel guidance, not dispatch an opaque OOM. eval_shape
+    traces the dispatch without allocating the multi-GB operands."""
+    import jax
+
+    big = jax.ShapeDtypeStruct((1, 4, 131072, 64), jnp.float32)
+    msk = jax.ShapeDtypeStruct((1, 131072), jnp.bool_)
+    with pytest.raises(ValueError, match="seq_forward|sequence"):
+        jax.eval_shape(lambda q, k, v, m: flash_attention(q, k, v, m, 0.125),
+                       big, big, big, msk)

@@ -96,6 +96,10 @@ class EvalConfig:
     # many-tiny-shots flavor (scripts/fuzz_reference_parity.py
     # --device-eval; PARITY.md), where the previous plain-f32 DP
     # mismatched 41/111 tiny-shots videos.
+    # Input contract of 'device' (ENFORCED, not assumed): strictly
+    # increasing picks, one score per pick, n_frames > picks[-1] — every
+    # real DSNet h5 qualifies; ops/device_eval.device_eligible routes any
+    # non-conforming video to the host oracle instead of the kernel.
     impl: str = "host"
 
 

@@ -219,7 +219,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if vmem_folded <= 80 * 1024 * 1024:
         return _flash_attention_folded(q, k, v, pad_mask, scale, interpret,
                                        kb)
-    return _xla_attention(q, k, v, pad_mask, scale)
+    # Past the folded envelope (N ≳ 130k at Dh=64) a dense fallback would
+    # need the (B, H, N, N) score tensor in HBM and OOM opaquely — fail
+    # loudly with the same guidance as the train path (ADVICE r2).
+    raise ValueError(
+        f"flash_attention: N={N}, Dh={Dh} exceeds the key-folded kernel's "
+        f"VMEM envelope ({vmem_folded / 2**20:.0f} MB > 80 MB) and the "
+        f"dense fallback cannot fit in HBM at this length. Use sequence "
+        f"parallelism (vidsum_tpu.parallel.seq_forward) or a shorter "
+        f"length bucket.")
 
 
 def _xla_attention(q, k, v, pad_mask, scale):

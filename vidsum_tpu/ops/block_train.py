@@ -53,8 +53,11 @@ def _hash_keep(seed, site, b, row0, shape, rate: float):
     (T, C) lattice — bit-identical to multiplying full-tile iotas (the
     products are elementwise equal and XOR is associative) but it drops
     ~6 full-tile VPU ops per mask, leaving only the xor + fmix finalizer
-    at tile size. Mask gen is the dominant dropout cost (PERF.md: the
-    whole dropout family is ~1.0 ms of the 5.1 ms flagship train step).
+    at tile size. Kept as a bit-identical simplification; measured
+    perf-neutral at the flagship shape (PERF.md round-2 experiments: the
+    hash arithmetic hides under the MXU pipeline, and the dropout
+    family's ~1.0 ms of the 5.1 ms step is dominated by the apply ops,
+    not mask generation).
     """
     T, C = shape
     base = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
