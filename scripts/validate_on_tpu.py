@@ -318,6 +318,14 @@ def main() -> None:
         gdiff = np.abs(feats - g["google_pool5"]).max()
         check("googlenet pool5 golden on chip", gdiff < 5e-3,
               f"max diff {gdiff:.2e}")
+        # BN-folded production path: same golden, same tolerance
+        from vidsum_tpu.preprocess.googlenet import fold_googlenet
+
+        feats_f = np.asarray(googlenet_apply(fold_googlenet(gp),
+                                             jnp.asarray(xg)))
+        fdiff = np.abs(feats_f - g["google_pool5"]).max()
+        check("googlenet pool5 golden FOLDED on chip", fdiff < 5e-3,
+              f"max diff {fdiff:.2e}")
 
     # sequence-parallel TRAIN step on the real chip (ring of 1 on a single
     # device: the jax.checkpoint + scan + ppermute + hash-dropout machinery

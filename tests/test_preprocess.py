@@ -290,3 +290,66 @@ def test_clip_resized_matches_clip():
     a = ex.clip(video, size=48)
     b = ex.clip_resized(resize_video(video, 48))
     assert np.array_equal(a, b) and a.shape == (512,)
+
+
+def test_googlenet_bn_fold_exact_and_fidelity_unchanged():
+    """VERDICT r2 weak #4: BN folds exactly into the bias-free convs at
+    load. Folded forward must (a) match the unfolded JAX forward to f32
+    rounding and (b) keep the torch-mirror fidelity tolerance unchanged."""
+    from vidsum_tpu.preprocess.googlenet import fold_googlenet
+
+    torch.manual_seed(0)
+    mirror = GoogLeNetMirror().eval()
+    randomize_bn_stats(mirror, 1)
+    params = googlenet_from_torch_state(to_numpy_state(mirror))
+    folded = fold_googlenet(params)
+
+    # no bn subtree anywhere; every conv gained a bias
+    import jax
+    leaves = jax.tree_util.tree_leaves_with_path(folded)
+    assert not any("bn" in str(p) for p, _ in leaves)
+
+    x = torch.randn(2, 3, 64, 64)
+    xn = x.permute(0, 2, 3, 1).numpy()
+    got_f = np.asarray(googlenet_apply(folded, xn))
+    got_u = np.asarray(googlenet_apply(params, xn))
+    np.testing.assert_allclose(got_f, got_u, rtol=2e-4, atol=2e-5)
+    with torch.no_grad():
+        want = mirror(x).numpy()
+    np.testing.assert_allclose(got_f, want, rtol=1e-3, atol=1e-4)
+
+
+def test_r3d18_bn_fold_exact_and_fidelity_unchanged():
+    from vidsum_tpu.preprocess.r3d import fold_r3d18
+
+    torch.manual_seed(2)
+    mirror = R3D18Mirror().eval()
+    randomize_bn_stats(mirror, 3)
+    params = r3d18_from_torch_state(to_numpy_state(mirror))
+    folded = fold_r3d18(params)
+
+    x = torch.randn(1, 3, 8, 64, 64)
+    xn = x.permute(0, 2, 3, 4, 1).numpy()
+    got_f = np.asarray(r3d18_apply(folded, xn))
+    got_u = np.asarray(r3d18_apply(params, xn))
+    np.testing.assert_allclose(got_f, got_u, rtol=2e-4, atol=2e-5)
+    with torch.no_grad():
+        want = mirror(x).numpy()
+    np.testing.assert_allclose(got_f, want, rtol=1e-3, atol=1e-4)
+
+
+def test_feature_extractor_folds_by_default():
+    """The production path (FeatureExtractor) ships folded params; the
+    features must equal an unfolded extractor's bit-for-bit modulo f32
+    rounding."""
+    from vidsum_tpu.preprocess.extract import FeatureExtractor
+
+    rng = np.random.default_rng(0)
+    video = rng.integers(0, 255, size=(5, 64, 80, 3), dtype=np.uint8)
+    fe_f = FeatureExtractor("google", batch_size=8)
+    fe_u = FeatureExtractor("google", batch_size=8, fold_bn=False)
+    assert not any("bn" in str(p) for p, _ in __import__("jax")
+                   .tree_util.tree_leaves_with_path(fe_f.params))
+    a = fe_f.frames(video, size=64)
+    b = fe_u.frames(video, size=64)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)

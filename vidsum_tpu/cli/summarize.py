@@ -60,7 +60,7 @@ def main(argv=None) -> None:
     from vidsum_tpu.pipeline import summarize_video
     from vidsum_tpu.preprocess.extract import load_state_dict
     from vidsum_tpu.preprocess.googlenet import (
-        googlenet_from_torch_state, init_googlenet,
+        fold_googlenet, googlenet_from_torch_state, init_googlenet,
     )
 
     cfg = ModelConfig(d_model=args.d_model, num_heads=args.num_heads,
@@ -84,6 +84,9 @@ def main(argv=None) -> None:
         logging.warning("no googlenet weights — features are random "
                         "projections")
         google = init_googlenet(jax.random.PRNGKey(1))
+    # exact inference transform: one biased conv per block instead of
+    # conv + runtime BN (preprocess/nn.fold_batchnorm)
+    google = fold_googlenet(google)
 
     mesh = None
     if args.seq_shards > 1:

@@ -58,7 +58,11 @@ Params = Dict[str, Any]
 
 def _basic_conv(p: Params, x, stride=1, padding=0):
     x = conv2d(x, p["conv"]["w"], stride=stride, padding=padding)
-    return jax.nn.relu(batchnorm(x, p["bn"], BN_EPS))
+    if "bn" in p:
+        x = batchnorm(x, p["bn"], BN_EPS)
+    else:  # BN folded into the conv at load (fold_googlenet)
+        x = x + p["conv"]["b"]
+    return jax.nn.relu(x)
 
 
 def _inception(p: Params, x):
@@ -112,6 +116,14 @@ def init_googlenet(key) -> Params:
             "branch4": init_conv_bn(next(keys), (1, 1, cin, pp)),
         }
     return params
+
+
+def fold_googlenet(params: Params) -> Params:
+    """BN-folded copy of a GoogLeNet param pytree (exact inference
+    transform; see :func:`vidsum_tpu.preprocess.nn.fold_batchnorm`)."""
+    from vidsum_tpu.preprocess.nn import fold_batchnorm
+
+    return fold_batchnorm(params, BN_EPS)
 
 
 def _conv_bn_from_torch(state: Dict[str, np.ndarray], prefix: str) -> Params:

@@ -35,8 +35,10 @@ Params = Dict[str, Any]
 
 
 def _conv_bn(p: Params, x, stride=(1, 1, 1), padding=(1, 1, 1)):
-    return batchnorm(conv3d(x, p["conv"]["w"], stride, padding), p["bn"],
-                     BN_EPS)
+    out = conv3d(x, p["conv"]["w"], stride, padding)
+    if "bn" in p:
+        return batchnorm(out, p["bn"], BN_EPS)
+    return out + p["conv"]["b"]  # BN folded at load (fold_r3d18)
 
 
 def _basic_block(p: Params, x):
@@ -82,6 +84,14 @@ def init_r3d18(key) -> Params:
             cin = cout
         params[name] = blocks
     return params
+
+
+def fold_r3d18(params: Params) -> Params:
+    """BN-folded copy of an R3D-18 param pytree (exact inference
+    transform; see :func:`vidsum_tpu.preprocess.nn.fold_batchnorm`)."""
+    from vidsum_tpu.preprocess.nn import fold_batchnorm
+
+    return fold_batchnorm(params, BN_EPS)
 
 
 def _conv_bn_from_torch(state: Dict[str, np.ndarray], conv_key: str,
