@@ -10,12 +10,46 @@ from vidsum_tpu.ops.losses import (
 
 
 def test_masked_mse_hand_case():
-    out = jnp.array([[[1.0], [2.0], [5.0]]])     # (1, 3, 1)
-    tgt = jnp.array([[0.0, 1.0, 7.0]])           # (1, 3)
-    mask = jnp.array([[False, False, True]])
-    # padded position zeroed in both → contributes 0; mean over ALL 3
-    want = ((1 - 0) ** 2 + (2 - 1) ** 2 + 0) / 3
+    # two videos, lengths 2 and 3 → the reference pads both to 3
+    # (pad_sequence) and loss.mean() divides by B·3 (utils.py:54)
+    out = jnp.array([[[1.0], [2.0], [5.0]],
+                     [[3.0], [1.0], [2.0]]])     # (2, 3, 1)
+    tgt = jnp.array([[0.0, 1.0, 7.0],
+                     [2.0, 1.0, 2.0]])           # (2, 3)
+    mask = jnp.array([[False, False, True],
+                      [False, False, False]])
+    want = ((1 - 0) ** 2 + (2 - 1) ** 2 + 0
+            + (3 - 2) ** 2 + 0 + 0) / (2 * 3)
     assert abs(float(mse_with_mask_loss(out, tgt, mask)) - want) < 1e-6
+
+
+def test_masked_mse_bucket_padding_invariant():
+    """The SAME videos padded to the reference's max-in-batch length vs our
+    128-style bucket must give the identical loss — the denominator is the
+    reference pad length, not the padded width (round-3 fix; the reference's
+    loss.mean() runs over max-in-batch-padded tensors, utils.py:45-56)."""
+    rng = np.random.default_rng(40)
+    lens = [5, 9, 7]
+    outs = [rng.normal(size=(n, 1)).astype(np.float32) for n in lens]
+    tgts = [rng.random(n).astype(np.float32) for n in lens]
+
+    def padded(width):
+        o = np.zeros((3, width, 1), np.float32)
+        t = np.full((3, width), 1000.0, np.float32)
+        m = np.ones((3, width), bool)
+        for i, n in enumerate(lens):
+            o[i, :n] = outs[i]
+            t[i, :n] = tgts[i]
+            m[i, :n] = False
+        return jnp.asarray(o), jnp.asarray(t), jnp.asarray(m)
+
+    ref = float(mse_with_mask_loss(*padded(9)))     # reference padding
+    bucket = float(mse_with_mask_loss(*padded(16)))  # our bucket padding
+    assert abs(ref - bucket) < 1e-7
+    # and the value equals the torch-semantics mean over B·max_len
+    num = sum(((o[:, 0] - t[:n]) ** 2).sum()
+              for o, t, n in zip(outs, tgts, lens))
+    assert abs(ref - num / (3 * 9)) < 1e-6
 
 
 def test_masked_mse_sum_reduction():
@@ -112,9 +146,11 @@ def test_pretrain_mask_blocks_padded_frames():
     x_pad = jnp.concatenate([x, jnp.full((1, 4, 1024), 1000.0)], axis=1)
     m_pad = jnp.concatenate([m0, jnp.ones((1, 4), bool)], axis=1)
     b = pretrain_apply(params, mcfg, pcfg, x_pad, vid, m_pad)
-    # main loss is mask-invariant; center/repel means run over N, so they are
-    # scaled by the frame count like in the reference — compare main only.
-    assert abs(float(a[0]) - float(b[0])) < 1e-5
+    # ALL THREE losses must be invariant to extra bucket padding: center and
+    # repel divide by the reference pad length (max true length), not the
+    # padded width (round-3 denominator fix, ops/losses.py docstring).
+    for la, lb, name in zip(a, b, ("main", "center", "repel")):
+        assert abs(float(la) - float(lb)) < 1e-5, name
 
 
 def test_pretrain_losses_match_torch_semantics():

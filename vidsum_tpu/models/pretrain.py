@@ -26,7 +26,9 @@ import jax.numpy as jnp
 
 from vidsum_tpu.config import ModelConfig, PretrainConfig
 from vidsum_tpu.models.simnet import _init_linear, _linear, init_simnet, simnet_apply
-from vidsum_tpu.ops.losses import entropy_centering, repelling_loss, soft_cross_entropy
+from vidsum_tpu.ops.losses import (
+    entropy_centering, reference_pad_len, repelling_loss, soft_cross_entropy,
+)
 
 Params = Dict[str, Any]
 
@@ -61,12 +63,15 @@ def pretrain_apply(params: Params, model_cfg: ModelConfig,
     frame_features = _linear(params["video_transform"],
                              frame_features.astype(jnp.float32))
 
-    repel = repelling_loss(frame_features, pad_mask)
+    # center/repel divide by the REFERENCE pad length (max true length in
+    # the batch), not our bucket width — see ops/losses.py module docstring
+    ref_len = reference_pad_len(pad_mask, x.shape[1])
+    repel = repelling_loss(frame_features, pad_mask, denom_len=ref_len)
 
     if pad_mask is not None:
         scores = jnp.where(pad_mask[..., None], -jnp.inf, scores)
     mixture = jax.nn.softmax(scores / pretrain_cfg.sharpening_t, axis=1)
-    center = entropy_centering(mixture + 1e-9, pad_mask)
+    center = entropy_centering(mixture + 1e-9, pad_mask, denom_len=ref_len)
 
     # (B, 1, N) @ (B, N, 512) → (B, 512): score-weighted feature mixture
     video_rep_pred = jnp.einsum("bnc,bnd->bcd", mixture,

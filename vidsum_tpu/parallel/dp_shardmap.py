@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from vidsum_tpu.config import ModelConfig
 from vidsum_tpu.models.simnet import simnet_apply
-from vidsum_tpu.ops.losses import mse_with_mask_loss
+from vidsum_tpu.ops.losses import mse_with_mask_loss, reference_pad_len
 
 
 def make_dp_shardmap_finetune_step(cfg: ModelConfig,
@@ -37,15 +37,20 @@ def make_dp_shardmap_finetune_step(cfg: ModelConfig,
     axis index; the returned loss is the global (batch-mean) loss.
     """
 
-    def loss_fn(params, x, target, pad_mask, rng):
+    def loss_fn(params, x, target, pad_mask, rng, denom_len):
         scores, _ = simnet_apply(params, cfg, x, pad_mask, rng=rng,
                                  deterministic=False, attn_impl=attn_impl)
-        return mse_with_mask_loss(scores, target, pad_mask)
+        return mse_with_mask_loss(scores, target, pad_mask,
+                                  denom_len=denom_len)
 
     def local_step(params, opt_state, x, target, pad_mask, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        # reference pad length of the GLOBAL batch (ops/losses.py docstring):
+        # each shard sees only its rows, so pmax the local max true length
+        denom_len = jax.lax.pmax(reference_pad_len(pad_mask, x.shape[1]),
+                                 data_axis)
         loss, grads = jax.value_and_grad(loss_fn)(params, x, target,
-                                                  pad_mask, rng)
+                                                  pad_mask, rng, denom_len)
         # the only collective: average grads (and the scalar loss) over data
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, data_axis), grads)
@@ -63,11 +68,13 @@ def make_dp_shardmap_finetune_step(cfg: ModelConfig,
 
     def local_step_weighted(params, opt_state, x, target, pad_mask, rng, w):
         """Padded-final-batch variant: the global loss is the weighted sum
-        over every shard divided by ``sum(w_global)·N`` — exactly the
-        smaller final batch's mean — so local losses/grads are *psum*-med,
-        not averaged."""
+        over every shard divided by ``sum(w_global)·reference_pad_len`` —
+        exactly the smaller final batch's mean — so local losses/grads are
+        *psum*-med, not averaged."""
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
-        denom = jax.lax.psum(w.sum(), data_axis) * x.shape[1]
+        denom = (jax.lax.psum(w.sum(), data_axis)
+                 * jax.lax.pmax(reference_pad_len(pad_mask, x.shape[1]),
+                                data_axis))
         loss, grads = jax.value_and_grad(weighted_loss_fn)(
             params, x, target, pad_mask, rng, w, denom)
         grads = jax.tree_util.tree_map(

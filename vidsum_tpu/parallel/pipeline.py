@@ -181,11 +181,17 @@ def make_pp_train_step(cfg: ModelConfig,
     def local_step(params, opt_state, x, target, pad_mask, rng):
         if rng is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(stage_axis))
+        # reference pad length of the GLOBAL batch (the stage axis doubles
+        # as dp here) — see ops/losses.py module docstring
+        from vidsum_tpu.ops.losses import reference_pad_len
+        denom_len = jax.lax.pmax(reference_pad_len(pad_mask, x.shape[1]),
+                                 stage_axis)
 
         def loss_fn(p):
             scores = forward(p["embed"], p["blocks"], p["head"], x, pad_mask,
                              rng, deterministic=cfg.dropout == 0.0)
-            return mse_with_mask_loss(scores, target, pad_mask)
+            return mse_with_mask_loss(scores, target, pad_mask,
+                                      denom_len=denom_len)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # replicated leaves: average over the (data-parallel) stage axis;

@@ -128,6 +128,13 @@ def make_seq_sharded_finetune_step(cfg: ModelConfig,
         # per-layer seeds from the UNfolded rng: identical on every shard,
         # so ring partners agree on every mask bit
         seeds = jax.random.randint(rng, (L,), 0, 2 ** 31 - 1, jnp.int32)
+        # reference pad length of the GLOBAL batch (ops/losses.py): true
+        # lengths need a psum over the sequence shards, then a max over the
+        # global batch
+        lengths = jax.lax.psum(jnp.sum(~pad_mask, axis=1), seq_axis)
+        denom_len = jax.lax.pmax(jnp.max(lengths).astype(jnp.float32),
+                                 data_axis)
+        B_glob = Bl * mesh.shape[data_axis]
 
         def loss_fn(params):
             calls = [0]  # simnet's layer loop is a Python loop → one
@@ -154,12 +161,18 @@ def make_seq_sharded_finetune_step(cfg: ModelConfig,
                                      deterministic=False, attn_fn=attn_fn,
                                      pos_offset=row0, pe_len=n_seq * Nl,
                                      dropout_masks=masks)
-            return mse_with_mask_loss(scores, target, pad_mask)
+            # each shard holds a (Bl, Nl) tile of the global (B, N) loss
+            # grid, so its correctly-scaled contribution is its raw sum over
+            # the GLOBAL denominator — psum (not pmean) then recovers the
+            # global batch-mean loss and its exact gradient
+            local_sum = mse_with_mask_loss(scores, target, pad_mask,
+                                           reduction="sum")
+            return local_sum / (B_glob * denom_len)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, (data_axis, seq_axis)), grads)
-        loss = jax.lax.pmean(loss, (data_axis, seq_axis))
+            lambda g: jax.lax.psum(g, (data_axis, seq_axis)), grads)
+        loss = jax.lax.psum(loss, (data_axis, seq_axis))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -53,15 +53,23 @@ class FinetuneResult:
 
 
 def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
-                 pad_to_batch: bool = False):
+                 pad_to_batch: bool = False, epoch_batches=None):
     """One epoch. ``rng_np``/``rng_jax`` are per-epoch streams derived by
     folding (split, epoch) into the seed — a resumed run therefore replays
-    the exact shuffle and dropout bits of an uninterrupted one."""
+    the exact shuffle and dropout bits of an uninterrupted one.
+
+    ``epoch_batches`` (optional) — an explicit list of index batches that
+    REPLACES the shuffled order, e.g. the realized permutation of the
+    reference's torch ``DataLoader(shuffle=True)`` (train.py:58-64) for
+    driver-level lockstep comparison (tests/test_reference_protocol_differential.py).
+    """
     loss_avg = AverageMeter()
     step_losses = []
-    for batch_idx in make_batches(len(dataset), cfg.train.batch_size,
-                                  shuffle=True, rng=rng_np,
-                                  pad_to_batch=pad_to_batch):
+    batches = (epoch_batches if epoch_batches is not None else
+               make_batches(len(dataset), cfg.train.batch_size,
+                            shuffle=True, rng=rng_np,
+                            pad_to_batch=pad_to_batch))
+    for batch_idx in batches:
         feats, tgts = zip(*[dataset[i] for i in batch_idx])
         x, t, mask = pad_batch(feats, tgts, pad_value=cfg.data.pad_value,
                                bucket=cfg.data.length_bucket)
@@ -131,7 +139,7 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
              profile_dir: Optional[str] = None,
              resume: bool = False,
              metrics_path: Optional[str] = None,
-             mesh=None) -> FinetuneResult:
+             mesh=None, batch_order=None) -> FinetuneResult:
     """Run the full 5-fold finetune + eval protocol. Returns fold-averaged
     max-over-epoch metrics (reference train.py:98-108).
 
@@ -143,6 +151,12 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
     - ``mesh``: a ``jax.sharding.Mesh`` with (data, model) axes — the train
       step then runs dp×tp over it (the north star's data-parallel training
       loop; the batch is padded to a multiple of the data axis).
+    - ``batch_order``: torch-shuffle-compat mode —
+      ``batch_order(split_idx, epoch) -> [[i, ...], ...]`` supplies the
+      exact per-epoch train batch order (e.g. captured from the reference
+      DataLoader's realized permutation) instead of our np shuffle, so the
+      composed protocol can be raced one-to-one against the reference's
+      ``train.py:21-108`` driver loop.
     """
     from vidsum_tpu.utils.metrics_log import MetricsLogger
     from vidsum_tpu.utils.profiling import trace
@@ -260,7 +274,9 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
             with trace(profile_dir if split_idx == 0 and epoch == 0 else None):
                 params, opt_state, train_loss, _ = _train_epoch(
                     step_fn, params, opt_state, train_set, cfg, rng_np,
-                    rng_epoch, pad_to_batch=mesh is not None)
+                    rng_epoch, pad_to_batch=mesh is not None,
+                    epoch_batches=(batch_order(split_idx, epoch)
+                                   if batch_order is not None else None))
             last_epoch = epoch == cfg.train.max_epoch - 1
             save_state = ((epoch + 1) % max(cfg.train.state_save_every, 1)
                           == 0 or last_epoch)

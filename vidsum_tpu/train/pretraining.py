@@ -29,7 +29,8 @@ logger = logging.getLogger(__name__)
 
 
 def pretrain(cfg: Config, dataset, workdir: str = ".",
-             log_every: int = 4, mesh=None, resume: bool = False) -> dict:
+             log_every: int = 4, mesh=None, resume: bool = False,
+             batch_order=None) -> dict:
     """Run pretraining over ``dataset`` (any indexable of
     ``(frame_features, video_rep)`` pairs). Returns the final param pytree;
     the encoder subtree is checkpointed each epoch like pretrain.py:46.
@@ -40,7 +41,12 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
     only warm-start weights, pretrain.py:46). Shuffle and dropout streams
     are derived per epoch by folding the epoch into the seed, so a resumed
     run replays the exact bits of an uninterrupted one (same design as
-    train/finetune.py)."""
+    train/finetune.py).
+
+    ``batch_order(epoch) -> [[i, ...], ...]`` (optional) supplies the exact
+    per-epoch batch order — torch-shuffle-compat mode for racing the
+    reference's ``pretrain.py:42-88`` driver loop one-to-one (the caller is
+    responsible for already having applied the reference's ``drop_last``)."""
     pcfg = cfg.pretrain
     steps_per_epoch = max(pcfg.scheduler_samples // pcfg.batch_size, 1)
     schedule = reference_pretrain_schedule(pcfg.lr, steps_per_epoch,
@@ -96,9 +102,10 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
         # per-epoch streams → exact replay under resume
         rng_np = np.random.default_rng((pcfg.seed, epoch))
         rng_jax = jax.random.fold_in(rng_base, epoch)
-        for i, batch_idx in enumerate(make_batches(
-                len(dataset), pcfg.batch_size, shuffle=True, rng=rng_np,
-                drop_last=True)):
+        batches = (batch_order(epoch) if batch_order is not None else
+                   make_batches(len(dataset), pcfg.batch_size, shuffle=True,
+                                rng=rng_np, drop_last=True))
+        for i, batch_idx in enumerate(batches):
             feats, reps = zip(*[dataset[j] for j in batch_idx])
             x, v, mask = pad_batch_pretrain(
                 feats, reps, pad_value=cfg.data.pad_value,
