@@ -280,3 +280,41 @@ def test_padded_final_batch_matches_smaller_batch():
                     jax.tree_util.tree_leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_composed_3axis_train_step_matches_single_device():
+    """VERDICT r2 #3: ONE train step composed over data×seq×model on a
+    single 3-axis mesh (batch sharded over data AND sequence, params
+    tensor-parallel over model) must equal the single-device step — at
+    dropout 0 within GSPMD reduce-order tolerance, and at dropout>0
+    bit-for-bit in the drawn masks (partitionable threefry makes the
+    dropout draws sharding-invariant)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2),
+                ("data", "seq", "model"))
+    optimizer = make_optimizer(1e-3, 1e-4)
+
+    for dropout in (0.0, 0.2):
+        cfg = dataclasses.replace(CFG, dropout=dropout)
+        params = init_simnet(jax.random.PRNGKey(31), cfg)
+        x, t, mask = make_batch(31, B=4, N=64)
+        rng = jax.random.PRNGKey(13)
+
+        ref_step = make_finetune_step(cfg, optimizer)
+        ref_params, _, ref_loss = ref_step(
+            jax.tree_util.tree_map(jnp.copy, params), optimizer.init(params),
+            jnp.asarray(x), jnp.asarray(t), jnp.asarray(mask), rng)
+
+        init_fn, step_fn = make_sharded_finetune_step(cfg, optimizer, mesh,
+                                                      seq_axis="seq")
+        sp, so = init_fn(params)
+        sp, so, loss = step_fn(sp, so, jnp.asarray(x), jnp.asarray(t),
+                               jnp.asarray(mask), rng)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5,
+                                   err_msg=f"dropout={dropout}")
+        for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                        jax.tree_util.tree_leaves(sp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4,
+                                       err_msg=f"dropout={dropout}")

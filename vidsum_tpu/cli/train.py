@@ -103,6 +103,11 @@ def config_from_args(args) -> Config:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    # multi-host launch (no-op unless VIDSUM_NUM_PROCESSES>1 is set): join
+    # the multi-controller runtime BEFORE any jax use; with --dp the mesh
+    # then spans every process's chips (parallel/distributed.py)
+    from vidsum_tpu.parallel.distributed import init_distributed
+    init_distributed()
     from vidsum_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()  # remote compiles are ~10-40 s/shape; cache hits across CLI processes (VIDSUM_TPU_CACHE_DIR=off to disable)
     if getattr(args, 'debug_nans', False):

@@ -1,4 +1,8 @@
 from vidsum_tpu.parallel.mesh import make_mesh
+from vidsum_tpu.parallel.distributed import (
+    DistributedConfig, global_mesh, init_distributed, is_coordinator,
+    make_global_array, put_batch,
+)
 from vidsum_tpu.parallel.sharding import (
     batch_sharding, param_shardings, replicate, shard_params,
 )
@@ -21,5 +25,6 @@ __all__ = [
     "make_sharded_pretrain_step", "ring_attention", "make_ring_forward",
     "make_seq_sharded_forward", "make_seq_sharded_finetune_step",
     "ring_attention_train", "make_pp_forward", "make_pp_train_step",
-    "stack_blocks",
+    "stack_blocks", "DistributedConfig", "init_distributed",
+    "is_coordinator", "global_mesh", "make_global_array", "put_batch",
 ]

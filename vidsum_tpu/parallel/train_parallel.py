@@ -29,6 +29,7 @@ from vidsum_tpu.parallel.sharding import (
 def make_sharded_finetune_step(cfg: ModelConfig,
                                optimizer: optax.GradientTransformation,
                                mesh: Mesh, attn_impl: str = "xla",
+                               seq_axis: str = None,
                                ) -> Tuple[Callable, Callable]:
     """Returns ``(init_fn, step_fn)``.
 
@@ -36,9 +37,24 @@ def make_sharded_finetune_step(cfg: ModelConfig,
     ``step_fn(params, opt_state, x, target, pad_mask, rng)`` is jitted with
     dp×tp shardings; inputs may arrive as host arrays (jit moves them per the
     declared in_shardings).
+
+    ``seq_axis`` composes a THIRD mesh axis: the sequence dimension of the
+    batch is additionally sharded over it (x → P(data, seq, None)), so one
+    train step runs data×seq×model on a single 3-axis mesh — GSPMD inserts
+    the softmax/matmul collectives for the N-sharded dense attention.
+    Equality with the single-device step is pinned by
+    ``tests/test_parallel.py`` (dropout 0 exactly; dropout>0 bit-equal under
+    the partitionable threefry) and dryrun[h].
     """
     p_shard = None  # bound at init (needs the param structure)
     rep = replicate(mesh)
+
+    def batch_spec(ndim):
+        from jax.sharding import NamedSharding
+        if seq_axis is None:
+            return batch_sharding(mesh, ndim)
+        return NamedSharding(
+            mesh, P(*(("data", seq_axis) + (None,) * (ndim - 2))))
 
     def init_fn(params):
         nonlocal p_shard
@@ -61,11 +77,9 @@ def make_sharded_finetune_step(cfg: ModelConfig,
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, opt_state, x, target, pad_mask, rng,
                 item_weight=None):
-        x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh, 3))
-        target = jax.lax.with_sharding_constraint(target,
-                                                  batch_sharding(mesh, 2))
-        pad_mask = jax.lax.with_sharding_constraint(pad_mask,
-                                                    batch_sharding(mesh, 2))
+        x = jax.lax.with_sharding_constraint(x, batch_spec(3))
+        target = jax.lax.with_sharding_constraint(target, batch_spec(2))
+        pad_mask = jax.lax.with_sharding_constraint(pad_mask, batch_spec(2))
         if item_weight is not None:
             item_weight = jax.lax.with_sharding_constraint(
                 item_weight, batch_sharding(mesh, 1))

@@ -53,7 +53,8 @@ class FinetuneResult:
 
 
 def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
-                 pad_to_batch: bool = False, epoch_batches=None):
+                 pad_to_batch: bool = False, epoch_batches=None,
+                 put_batch=None):
     """One epoch. ``rng_np``/``rng_jax`` are per-epoch streams derived by
     folding (split, epoch) into the seed — a resumed run therefore replays
     the exact shuffle and dropout bits of an uninterrupted one.
@@ -62,6 +63,10 @@ def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
     REPLACES the shuffled order, e.g. the realized permutation of the
     reference's torch ``DataLoader(shuffle=True)`` (train.py:58-64) for
     driver-level lockstep comparison (tests/test_reference_protocol_differential.py).
+
+    ``put_batch`` (optional) — device-placement hook; multi-process runs
+    pass ``parallel.distributed.put_batch`` so each host materializes only
+    its addressable batch shards.
     """
     loss_avg = AverageMeter()
     step_losses = []
@@ -69,6 +74,8 @@ def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
                make_batches(len(dataset), cfg.train.batch_size,
                             shuffle=True, rng=rng_np,
                             pad_to_batch=pad_to_batch))
+    put = put_batch or (lambda *arrays: tuple(
+        jnp.asarray(a) if a is not None else None for a in arrays))
     for batch_idx in batches:
         feats, tgts = zip(*[dataset[i] for i in batch_idx])
         x, t, mask = pad_batch(feats, tgts, pad_value=cfg.data.pad_value,
@@ -80,10 +87,9 @@ def _train_epoch(step_fn, params, opt_state, dataset, cfg, rng_np, rng_jax,
         # zero-weighted repeats make the padded batch's loss and grads
         # exactly the reference's smaller-final-batch semantics.
         w = item_weights(batch_idx) if pad_to_batch else None
-        params, opt_state, loss = step_fn(
-            params, opt_state, jnp.asarray(x), jnp.asarray(t),
-            jnp.asarray(mask), sub,
-            jnp.asarray(w) if w is not None else None)
+        x, t, mask, w = put(x, t, mask, w)
+        params, opt_state, loss = step_fn(params, opt_state, x, t, mask,
+                                          sub, w)
         # keep the loss on device: a float() here would force a blocking
         # host fetch per step (the axon relay charges ~ms per sync) and
         # serialize the dispatch pipeline. One stacked fetch per epoch.
@@ -158,10 +164,20 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
       composed protocol can be raced one-to-one against the reference's
       ``train.py:21-108`` driver loop.
     """
+    from vidsum_tpu.parallel.distributed import is_coordinator
     from vidsum_tpu.utils.metrics_log import MetricsLogger
     from vidsum_tpu.utils.profiling import trace
 
-    metrics = MetricsLogger(metrics_path)
+    # multi-controller discipline (parallel/distributed.py): every process
+    # runs this same loop on the same data order; only the coordinator
+    # writes files, and batches enter the mesh via per-process shards
+    coord = is_coordinator()
+    put = None
+    if mesh is not None and jax.process_count() > 1:
+        from vidsum_tpu.parallel.distributed import put_batch as _put_batch
+        put = lambda *arrays: _put_batch(mesh, *arrays)  # noqa: E731
+
+    metrics = MetricsLogger(metrics_path if coord else None)
     ckpt = AsyncCheckpointer()
     state_path = os.path.join(workdir, "train_state.ckpt")
     resume_meta = None
@@ -248,7 +264,7 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
                             cfg.data.datasets, split["test_keys"], split="val",
                             path_scheme=cfg.data.path_scheme)
 
-        if export_summary:
+        if export_summary and coord:
             from vidsum_tpu.export.summary_json import write_summary_json
             write_summary_json(fwd, params, val_set, cfg,
                                os.path.join(workdir, "summary.json"))
@@ -276,12 +292,13 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
                     step_fn, params, opt_state, train_set, cfg, rng_np,
                     rng_epoch, pad_to_batch=mesh is not None,
                     epoch_batches=(batch_order(split_idx, epoch)
-                                   if batch_order is not None else None))
+                                   if batch_order is not None else None),
+                    put_batch=put)
             last_epoch = epoch == cfg.train.max_epoch - 1
-            save_state = ((epoch + 1) % max(cfg.train.state_save_every, 1)
-                          == 0 or last_epoch)
-            save_model = ((epoch + 1) % max(cfg.train.model_save_every, 1)
-                          == 0 or last_epoch)
+            save_state = coord and ((epoch + 1) % max(
+                cfg.train.state_save_every, 1) == 0 or last_epoch)
+            save_model = coord and ((epoch + 1) % max(
+                cfg.train.model_save_every, 1) == 0 or last_epoch)
             # start the device→host checkpoint copies before the val pass so
             # the ~15 MB/s relay transfer overlaps the val dispatches
             if save_model or save_state:

@@ -47,6 +47,17 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
     per-epoch batch order — torch-shuffle-compat mode for racing the
     reference's ``pretrain.py:42-88`` driver loop one-to-one (the caller is
     responsible for already having applied the reference's ``drop_last``)."""
+    from vidsum_tpu.parallel.distributed import is_coordinator
+
+    # multi-controller discipline (parallel/distributed.py): identical loop
+    # on every process; coordinator-only file writes; per-process batch
+    # shards onto the mesh
+    coord = is_coordinator()
+    put = None
+    if mesh is not None and jax.process_count() > 1:
+        from vidsum_tpu.parallel.distributed import put_batch as _put_batch
+        put = lambda *arrays: _put_batch(mesh, *arrays)  # noqa: E731
+
     pcfg = cfg.pretrain
     steps_per_epoch = max(pcfg.scheduler_samples // pcfg.batch_size, 1)
     schedule = reference_pretrain_schedule(pcfg.lr, steps_per_epoch,
@@ -111,9 +122,12 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
                 feats, reps, pad_value=cfg.data.pad_value,
                 bucket=cfg.data.length_bucket)
             rng_jax, sub = jax.random.split(rng_jax)
-            params, opt_state, losses = step_fn(
-                params, opt_state, jnp.asarray(x), jnp.asarray(v),
-                jnp.asarray(mask), sub)
+            if put is not None:
+                x, v, mask = put(x, v, mask)
+            else:
+                x, v, mask = jnp.asarray(x), jnp.asarray(v), jnp.asarray(mask)
+            params, opt_state, losses = step_fn(params, opt_state, x, v,
+                                                mask, sub)
             # losses stay on device between log boundaries — per-step
             # float() fetches would serialize the dispatch pipeline
             # through the relay (one blocking sync per step)
@@ -123,8 +137,8 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
                 logger.info("Epoch %3d step %d: loss %.5f (main %.5f "
                             "center %.5f repel %.5f)", epoch, i + 1, total,
                             main, center, repel)
-        save_now = ((epoch + 1) % max(pcfg.save_every, 1) == 0
-                    or epoch == pcfg.epochs - 1)
+        save_now = coord and ((epoch + 1) % max(pcfg.save_every, 1) == 0
+                              or epoch == pcfg.epochs - 1)
         if save_now:
             # start the device->host copies now: the relay transfer streams
             # while the loss fetch below waits for the epoch's steps
