@@ -255,6 +255,30 @@ def main() -> None:
     ts_g = diff_samples(lambda: google_chain(g_params, gx), n=3)
     google_fps = GB * K_G / ts_g[0]
 
+    # conv-path MFU from XLA's own cost model (exact conv FLOPs beat any
+    # hand constant); unavailable on some remote backends → null
+    google_mfu = None
+    try:
+        cost = jax.jit(googlenet_apply).lower(g_params, gx).compile(
+        ).cost_analysis()
+        if cost and cost.get("flops"):
+            google_mfu = round(
+                float(cost["flops"]) * google_fps / GB / PEAK_FLOPS, 4)
+    except Exception:
+        pass
+
+    # relay-health probe (ADVICE/VERDICT r2: make a slow relay window
+    # machine-visible next to the recorded numbers): median round-trip of a
+    # trivial dispatch+fetch. Steady windows measure ~35 ms; a degraded
+    # window (observed up to ~450 ms) means only same-process A/B deltas in
+    # this record are defensible.
+    probe = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(trivial(jnp.zeros((4,))))
+        probe.append(time.perf_counter() - t0)
+    relay_probe_ms = float(np.median(probe)) * 1e3
+
     n_chips = max(len(jax.devices()), 1)
     per_chip = frames_per_sec / n_chips
     print(json.dumps({
@@ -271,6 +295,8 @@ def main() -> None:
         "scoring_spread_pct": round(spread_pct(ts_dense), 1),
         "train_mfu": round(train_mfu, 4),
         "googlenet_fps": round(google_fps / n_chips, 1),
+        "googlenet_mfu": google_mfu,
+        "relay_probe_ms": round(relay_probe_ms, 1),
     }))
 
 
