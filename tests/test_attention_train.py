@@ -251,9 +251,14 @@ def test_past_folded_budget_raises_with_guidance():
     from vidsum_tpu.ops.attention_train import (
         flash_attention_dropout, flash_train_supported)
 
-    # measured-envelope shapes: bf16 flagship N=20480 trains on one chip
+    # measured on-chip edge (scripts/repro_40k_train_compile.py, v5e):
+    # bf16 flagship N=20480 compiles and runs (94.9 MB scoped VMEM incl.
+    # spills); N=22528 is refused by the Mosaic allocator (99.0 MB vs the
+    # 96 MB limit). The guard must sit exactly on that boundary.
     assert flash_train_supported(20480, 64, 2)
-    # f32 past the folded backward's residency (~97 MB > the 88 MB guard)
+    assert not flash_train_supported(22528, 64, 2)
+    # f32 halves the window budget (double-buffered lane-padded windows)
+    assert flash_train_supported(10240, 64, 4)
     N, Dh = 36864, 64
     assert not flash_train_supported(N, Dh, 4)
 

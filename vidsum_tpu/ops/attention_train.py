@@ -21,10 +21,11 @@ Past the single-pass VMEM budget (N ≳ 16k) key-block-folded variants take
 over (see the section below): the forward folds an online softmax over
 (TILE, kb) score blocks and the backward keeps one pass using
 D = rowsum(do·o) (o joins the residuals only on that path). Past the
-FOLDED budget (``_folded_train_ok``) the dispatch raises a descriptive
-error — there is no single-chip fallback at those lengths (dense XLA would
-need the (B, H, N, N) tensor in HBM); ``flash_train_supported`` is the
-public predicate, and the sequence-parallel ring is the designed path.
+FOLDED budget (``_folded_train_ok``; bf16 flagship edge N=20,480, measured
+on chip) the dispatch raises a descriptive error — there is no single-chip
+fallback at those lengths (dense XLA would need the (B, H, N, N) tensor in
+HBM); ``flash_train_supported`` is the public predicate, and the
+sequence-parallel ring is the designed path.
 
 Gradients are verified against a dense XLA attention applying the identical
 mask (dropout_attention_reference): exact comparison, no finite differences.
@@ -293,19 +294,27 @@ def _single_pass_ok(N: int, Dh: int, itemsize: int) -> bool:
 
 
 def _folded_train_ok(N: int, Dh: int, itemsize: int) -> bool:
-    """Key-folded TRAIN budget (the backward is the binding pass): q/k/v/do
-    inputs and dq/dk/dv outputs at the input itemsize, two (N, Dh) f32
-    accumulator scratches, and the per-cell (TILE, kb) f32 score/e/keep
-    blocks must fit the kernels' 96 MB ``vmem_limit_bytes`` with headroom.
-    Mirrors the inference wrapper's 80 MB folded guard (ops/attention),
-    which demotes to XLA dense — here there is nothing to demote TO (dense
-    training needs the (B, H, N, N) weight tensor in HBM, infeasible long
-    before this cap), so the dispatch raises instead; the designed path for
-    these shapes is sequence parallelism (parallel/seq_forward)."""
-    kb = _pick_key_block(N)
-    resident = 7 * N * Dh * itemsize + 2 * N * Dh * 4
-    blocks = 6 * TILE * kb * 4 + 2 * TILE * Dh * 4
-    return resident + blocks <= 88 * 1024 * 1024
+    """Key-folded TRAIN budget (the backward is the binding pass), modelled
+    the way the Mosaic allocator actually charges it — measured on v5e,
+    ``scripts/repro_40k_train_compile.py`` (round 3): the seven (N, Dh)
+    grid windows (q/k/v/do in, dq/dk/dv out) are lane-padded to 128 and
+    DOUBLE-buffered (the round-2 model charged them single-buffered and
+    unpadded, which is why N=40,960 passed the guard but the chip refused
+    it), plus the two (N, Dh) f32 accumulator scratches (single-buffered,
+    same lane padding). The total must fit the kernels' 96 MB
+    ``vmem_limit_bytes`` less ~6 MB of register-spill slots and small
+    (1, N) lse/mask windows — 90 MB usable. At bf16 / Dh=64 the model is
+    4608·N bytes and the chip agrees exactly: N=20,480 compiles and runs
+    (94.9 MB scoped incl. 4.9 MB spills), N=22,528 is refused by the
+    allocator at 99.0 MB scoped ("exceeded scoped vmem limit by 3.00M").
+    There is nothing to demote TO past this (dense training needs the
+    (B, H, N, N) weight tensor in HBM, infeasible long before this cap),
+    so the dispatch raises instead; the designed path for these shapes is
+    sequence parallelism (parallel/seq_forward)."""
+    lanes = max(Dh, 128)
+    windows = 7 * 2 * N * lanes * itemsize
+    scratch = 2 * N * lanes * 4
+    return windows + scratch <= 90 * 1024 * 1024
 
 
 def flash_train_supported(N: int, Dh: int, itemsize: int) -> bool:
