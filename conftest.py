@@ -18,8 +18,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("VIDSUM_TPU_CACHE_DIR", "off")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Deflake: XLA CPU aborts a collective if the 8 virtual devices don't all
+# reach the rendezvous within 40 s. GIL-serialized interpret-mode Pallas
+# under shard_map staggers arrivals by the full per-device interpret time,
+# which can exceed that on this one-core box (observed in dryrun[c]).
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = _flags
 
 if "jax" in sys.modules:
     import jax

@@ -57,7 +57,9 @@ def _worker_env():
             del env[k]
     env["JAX_PLATFORMS"] = "cpu"
     env["VIDSUM_TPU_CACHE_DIR"] = "off"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4 "
+                        "--xla_cpu_collective_call_terminate_timeout_seconds"
+                        "=600")
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in (env.get("PYTHONPATH", ""), REPO) if p)
     return env
