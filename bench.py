@@ -232,27 +232,32 @@ def main() -> None:
 
     # 4) GoogLeNet-pool5 frame embedding (the preprocess north star's
     # batched backbone; bf16 weights+activations, B=64 224x224 frames)
-    from vidsum_tpu.preprocess.googlenet import googlenet_apply, init_googlenet
+    from vidsum_tpu.preprocess.googlenet import (
+        fold_googlenet, googlenet_apply, init_googlenet)
 
+    # fold BN in f32 first (exact), then cast — the production load path
     g_params = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        init_googlenet(jax.random.PRNGKey(1)))
+        fold_googlenet(init_googlenet(jax.random.PRNGKey(1))))
     # B=128 is the measured batch-size sweet spot for the conv stack
-    # (scripts/sweep_googlenet_batch.py, length-differenced: 32.1k f/s vs
-    # 22.4k at B=64 and 25.6k at B=256 on v5e)
+    # (scripts/sweep_googlenet_batch.py, length-differenced; folded A/B
+    # in scripts/bench_bn_fold.py). Weights close over the program as XLA
+    # constants — the production extractor convention (preprocess/
+    # extract.py): constant weights are 15-19% faster than weights-as-
+    # arguments at this shape, and the BN fold only wins under it.
     GB, K_G = 128, 20
     gx = jnp.asarray(rng.normal(size=(GB, 224, 224, 3)), jnp.bfloat16)
 
     @jax.jit
-    def google_chain(p, x):
+    def google_chain(x):
         def body(carry, _):
-            out = googlenet_apply(p, x + carry)
+            out = googlenet_apply(g_params, x + carry)
             return out.mean().astype(x.dtype) * 1e-12, ()
         c, _ = lax.scan(body, jnp.zeros((), x.dtype), None, length=K_G)
         return c
 
-    np.asarray(google_chain(g_params, gx))  # compile
-    ts_g = diff_samples(lambda: google_chain(g_params, gx), n=3)
+    np.asarray(google_chain(gx))  # compile
+    ts_g = diff_samples(lambda: google_chain(gx), n=3)
     google_fps = GB * K_G / ts_g[0]
 
     # conv-path MFU from XLA's own cost model (exact conv FLOPs beat any

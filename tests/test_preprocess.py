@@ -270,7 +270,7 @@ def test_frames_stream_matches_eager_batching():
         if pad:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-        out = np.asarray(ex._jitted(ex.params, chunk))
+        out = np.asarray(ex._jitted(chunk))
         outs.append(out[: ex.batch_size - pad if pad else None])
     oracle = np.concatenate(outs).astype(np.float32)
 

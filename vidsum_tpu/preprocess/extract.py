@@ -88,10 +88,28 @@ class FeatureExtractor:
             # normalization; VERDICT r2 weak #4)
             self.params = fold(self.params)
         # frames cross the host→device link as uint8 (4× less wire traffic
-        # than normalized f32); ToTensor+Normalize runs inside the program
-        self._jitted = jax.jit(
-            lambda p, x: self._apply(
-                p, device_normalize(x, kind).astype(compute_dtype)))
+        # than normalized f32); ToTensor+Normalize runs inside the program.
+        # Weights are fixed for the extractor's lifetime, so bake them into
+        # the program as XLA constants instead of call arguments: constant
+        # weights let XLA pre-pack conv layouts at compile time — measured
+        # 15-19% faster at the GoogLeNet flagship shape, and the BN fold
+        # only pays off under this convention (PERF.md "weights as
+        # constants"). Size-gated: embedding R3D-18's ~132 MB f32 pytree
+        # would bloat the (remotely uploaded) HLO for a path whose fold
+        # was measured neutral.
+        import numpy as _np
+
+        param_bytes = sum(_np.asarray(a).nbytes
+                          for a in jax.tree_util.tree_leaves(self.params))
+        if param_bytes <= 64 * 2**20:
+            params, apply = self.params, self._apply
+            self._jitted = jax.jit(lambda x: apply(
+                params, device_normalize(x, kind).astype(compute_dtype)))
+        else:
+            self._jitted = functools.partial(
+                jax.jit(lambda p, x: self._apply(
+                    p, device_normalize(x, kind).astype(compute_dtype))),
+                self.params)
 
     def frames(self, video: np.ndarray, size: int = 224) -> np.ndarray:
         """(T, H, W, 3) uint8 → (T, 1024) GoogLeNet pool5 features."""
@@ -117,7 +135,7 @@ class FeatureExtractor:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            out = np.asarray(self._jitted(self.params, chunk))
+            out = np.asarray(self._jitted(chunk))
             return out[: self.batch_size - pad if pad else None]
 
         for f in frame_iter:
@@ -142,7 +160,7 @@ class FeatureExtractor:
         R3D-18 clip embedding; lets a streaming decoder resize per frame."""
         assert self.kind == "r3d18"
         return np.asarray(
-            self._jitted(self.params, resized[None]))[0].astype(np.float32)
+            self._jitted(resized[None]))[0].astype(np.float32)
 
 
 @functools.lru_cache(maxsize=2)
