@@ -1,0 +1,92 @@
+"""Serving CLI: a micro-batching scoring service behind a local HTTP API.
+
+Usage:
+    python -m vidsum_tpu.cli.serve --ckpt model_mae.ckpt --port 8080 \
+        [--torch_ckpt model_mae.pth] [--max_batch 8] [--max_delay_ms 3]
+
+Clients POST ``.npz`` feature payloads to ``/summarize`` (see
+``vidsum_tpu/serve_http.py`` for the protocol). The reference has no serving
+path at all — its closest analogue is re-running ``src/train.py``'s val loop
+over h5 files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("vidsum_tpu serve")
+    p.add_argument("--ckpt", default=None,
+                   help="vidsum_tpu scorer checkpoint (msgpack)")
+    p.add_argument("--torch_ckpt", default=None,
+                   help="reference-trained SimNet .pth (converted on load)")
+    p.add_argument("--d_model", type=int, default=256)
+    p.add_argument("--num_heads", type=int, default=4)
+    p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_delay_ms", type=float, default=3.0)
+    p.add_argument("--budget", type=float, default=0.15)
+    p.add_argument("--attn", default=None,
+                   help="attention impl override (default: fused block "
+                        "kernels on TPU, XLA elsewhere)")
+    p.add_argument("--warmup", default="128,256,512",
+                   help="comma-separated lengths to pre-compile (empty "
+                        "string to skip)")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from vidsum_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
+                        level=logging.INFO)
+    import jax
+
+    from vidsum_tpu.config import ModelConfig
+    from vidsum_tpu.models import init_simnet
+    from vidsum_tpu.serve import ScoringService
+    from vidsum_tpu.serve_http import make_server
+
+    cfg = ModelConfig(d_model=args.d_model, num_heads=args.num_heads,
+                      num_layers=args.num_layers)
+    params = init_simnet(jax.random.PRNGKey(0), cfg)
+    if args.torch_ckpt:
+        from vidsum_tpu.models.torch_convert import (
+            load_torch_checkpoint, simnet_from_torch_state,
+        )
+        params = simnet_from_torch_state(load_torch_checkpoint(args.torch_ckpt))
+    elif args.ckpt:
+        from vidsum_tpu.train.checkpoint import load_checkpoint
+        params, _ = load_checkpoint(args.ckpt, params)
+    else:
+        logging.warning("no checkpoint given — serving random weights")
+
+    service = ScoringService(params, cfg, attn_impl=args.attn,
+                             max_batch=args.max_batch,
+                             max_delay_ms=args.max_delay_ms,
+                             budget_ratio=args.budget)
+    if args.warmup:
+        lengths = [int(s) for s in args.warmup.split(",") if s]
+        logging.info("warming up %s (compiles the program grid)...", lengths)
+        service.warmup(lengths=lengths)
+    server = make_server(service, host=args.host, port=args.port)
+    server.verbose = args.verbose
+    logging.info("serving on http://%s:%d (POST /summarize, GET /stats)",
+                 *server.server_address)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,381 @@
+"""Online serving: micro-batched TPU scoring behind a request queue.
+
+The reference has no serving story — scoring only exists as an offline val
+pass over h5 files (``src/train.py:134-152``). Production deployment is the
+opposite shape: requests arrive one at a time, at unpredictable lengths, and
+the accelerator wants large *static-shape* batches. This module bridges the
+two the TPU way:
+
+- requests are padded to the same 128-multiple length buckets training uses
+  (``data/collate.py``), so serving touches only a handful of compiled
+  programs (first remote compile is ~10-40 s per shape; the persistent
+  compile cache makes warm restarts instant);
+- a dispatcher thread micro-batches concurrent requests: a bounded batching
+  window (``max_delay_ms``) collects what arrived, groups it by length
+  bucket, and pads each group's batch dimension to the next power of two by
+  *repeating* request rows (bounded program count per bucket; repeated rows
+  are discarded on output). Per-video scores are invariant to batch
+  composition — each row is masked independently and no op mixes rows — so a
+  batched request scores bit-identically to a solo call
+  (``tests/test_serve.py``);
+- shot selection (KTS + knapsack, the bit-parity host pipeline of
+  ``ops/{kts,summary,knapsack}``) runs on a worker pool, so the dispatcher
+  is back on the accelerator while the CPU picks shots.
+
+Single-host by design: one process owns the chip and the queue. Multi-chip
+serving shards the *model* (``parallel/``), not this queue; run one service
+per replica behind any external load balancer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from collections import defaultdict, deque
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vidsum_tpu.config import ModelConfig
+from vidsum_tpu.data.collate import bucket_length
+from vidsum_tpu.ops.kts import change_points_from_cps, kts_segmentation
+from vidsum_tpu.ops.summary import generate_summary
+
+
+@dataclasses.dataclass
+class ServeResult:
+    """One request's outcome.
+
+    ``scores`` is the sigmoid importance per input feature row (the
+    reference's val-time ``Sigmoid()(output)``, train.py:144). ``summary``
+    / ``change_points`` are present when shot selection ran (identical
+    arithmetic to the offline eval pipeline)."""
+
+    scores: np.ndarray                       # (n,) float32
+    summary: Optional[np.ndarray]            # (n_frames,) int8 or None
+    change_points: Optional[np.ndarray]      # (S, 2) inclusive bounds
+    n_frames: int
+    latency_s: float                         # enqueue -> result set
+
+
+@dataclasses.dataclass
+class ServeStats:
+    requests: int
+    completed: int
+    failed: int
+    batches: int
+    rows_scored: int          # real request rows sent to the accelerator
+    rows_padded: int          # repeated rows added for power-of-two batches
+    batch_hist: Dict[int, int]  # real-rows-per-batch -> count
+    latency_mean_s: float
+    latency_p50_s: float
+    latency_p95_s: float
+    latency_p99_s: float
+
+
+@dataclasses.dataclass
+class _Request:
+    feats: np.ndarray
+    picks: Optional[np.ndarray]
+    n_frames: int
+    change_points: Optional[np.ndarray]
+    want_summary: bool
+    budget_ratio: float
+    future: Future
+    t_enq: float
+
+
+_CLOSE = object()
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class ScoringService:
+    """Micro-batching scorer: ``submit()`` from any thread, results as
+    futures. One dispatcher thread owns the accelerator dispatch; a small
+    pool runs host-side shot selection.
+
+    :param max_batch: upper bound on real rows per device batch (the batch
+        dim is padded up to the next power of two, so compiled programs per
+        bucket number at most ``log2(max_batch)+1``).
+    :param max_delay_ms: batching window — how long the dispatcher waits
+        for more requests after the first one arrives. Zero still batches
+        whatever is already queued.
+    :param attn_impl: scorer attention impl; default picks the fused block
+        kernels on TPU and XLA elsewhere (same policy as ``pipeline.py``).
+    """
+
+    def __init__(self, params, cfg: ModelConfig, *,
+                 attn_impl: Optional[str] = None,
+                 max_batch: int = 8, max_delay_ms: float = 3.0,
+                 bucket: int = 128, pad_value: float = 1000.0,
+                 budget_ratio: float = 0.15,
+                 selection_workers: int = 2,
+                 latency_window: int = 4096) -> None:
+        import jax
+
+        from vidsum_tpu.train.steps import make_eval_forward
+
+        if attn_impl is None:
+            attn_impl = ("pallas_block" if jax.default_backend() == "tpu"
+                         else "xla")
+        self._cfg = cfg
+        self._params = params
+        self._fwd = make_eval_forward(cfg, attn_impl=attn_impl)
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.bucket = int(bucket)
+        self.pad_value = float(pad_value)
+        self.budget_ratio = float(budget_ratio)
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._lock = threading.Lock()
+        self._stats = dict(requests=0, completed=0, failed=0, batches=0,
+                           rows_scored=0, rows_padded=0)
+        self._batch_hist: Dict[int, int] = defaultdict(int)
+        self._latencies: deque = deque(maxlen=latency_window)
+        self._pool = ThreadPoolExecutor(max_workers=selection_workers,
+                                        thread_name_prefix="vidsum-select")
+        self._dispatcher = threading.Thread(target=self._loop, daemon=True,
+                                            name="vidsum-dispatch")
+        self._dispatcher.start()
+
+    # ------------------------------------------------------------------ API
+
+    def submit(self, features: np.ndarray, *,
+               picks: Optional[np.ndarray] = None,
+               n_frames: Optional[int] = None,
+               change_points: Optional[np.ndarray] = None,
+               want_summary: bool = True,
+               budget_ratio: Optional[float] = None) -> Future:
+        """Enqueue one video's features; returns a ``Future[ServeResult]``.
+
+        :param features: (n, in_features) frame features (e.g. GoogLeNet
+            pool5 at the sampled fps).
+        :param picks: original-frame index per feature row. Defaults to
+            ``arange(n)``; required whenever ``n_frames != n`` (the frame
+            mapping is not inferable — the offline pipeline gets it from
+            ``reduce_fps``).
+        :param n_frames: original video frame count (defaults to ``n``).
+        :param change_points: (S, 2) inclusive shot bounds in original
+            frames (the DSNet h5 layout). When absent and a summary is
+            wanted, auto-KTS segments the features exactly like
+            ``pipeline._finish_video``.
+        """
+        feats = np.asarray(features, dtype=np.float32)
+        if feats.ndim != 2 or feats.shape[1] != self._cfg.in_features:
+            raise ValueError(
+                f"features must be (n, {self._cfg.in_features}), got "
+                f"{feats.shape}")
+        n = feats.shape[0]
+        if n == 0:
+            raise ValueError("empty feature sequence")
+        if n_frames is None:
+            n_frames = n
+        n_frames = int(n_frames)
+        if picks is None:
+            if n_frames != n:
+                raise ValueError(
+                    "picks is required when n_frames != len(features): the "
+                    "feature-row -> original-frame mapping is not inferable")
+            picks = np.arange(n, dtype=np.int64)
+        else:
+            picks = np.asarray(picks, dtype=np.int64).reshape(-1)
+            if picks.shape[0] != n:
+                raise ValueError("picks must have one entry per feature row")
+        if change_points is not None:
+            change_points = np.asarray(change_points, dtype=np.int64)
+            if change_points.ndim != 2 or change_points.shape[1] != 2:
+                raise ValueError("change_points must be (S, 2)")
+        fut: Future = Future()
+        req = _Request(feats=feats, picks=picks, n_frames=n_frames,
+                       change_points=change_points,
+                       want_summary=bool(want_summary),
+                       budget_ratio=(self.budget_ratio if budget_ratio is None
+                                     else float(budget_ratio)),
+                       future=fut, t_enq=time.monotonic())
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._stats["requests"] += 1
+        self._q.put(req)
+        return fut
+
+    def summarize(self, features: np.ndarray, **kw) -> ServeResult:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(features, **kw).result()
+
+    def warmup(self, lengths: Sequence[int] = (128,),
+               batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the (batch, bucket) program grid so first requests
+        don't pay the remote compile. Runs through the real dispatch path."""
+        if batch_sizes is None:
+            batch_sizes = [1]
+            while batch_sizes[-1] < self.max_batch:
+                batch_sizes.append(batch_sizes[-1] * 2)
+        for n in lengths:
+            n_b = bucket_length(int(n), self.bucket)
+            for b in batch_sizes:
+                futs = [self.submit(
+                    np.zeros((n_b, self._cfg.in_features), np.float32),
+                    want_summary=False) for _ in range(min(b, self.max_batch))]
+                for f in futs:
+                    f.result()
+        # warmup traffic shouldn't pollute the serving stats
+        with self._lock:
+            self._stats = dict(requests=0, completed=0, failed=0, batches=0,
+                               rows_scored=0, rows_padded=0)
+            self._batch_hist = defaultdict(int)
+            self._latencies.clear()
+
+    def stats(self) -> ServeStats:
+        with self._lock:
+            lat = np.asarray(self._latencies, dtype=np.float64)
+            s = dict(self._stats)
+            hist = dict(self._batch_hist)
+
+        def q(p):
+            return float(np.quantile(lat, p)) if lat.size else 0.0
+
+        return ServeStats(batch_hist=hist,
+                          latency_mean_s=float(lat.mean()) if lat.size else 0.0,
+                          latency_p50_s=q(0.50), latency_p95_s=q(0.95),
+                          latency_p99_s=q(0.99), **s)
+
+    def close(self, timeout: Optional[float] = None) -> None:
+        """Drain the queue, stop the dispatcher, finish pending selection."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._q.put(_CLOSE)
+        self._dispatcher.join(timeout=timeout)
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ----------------------------------------------------------- dispatcher
+
+    def _loop(self) -> None:
+        closing = False
+        while not closing:
+            req = self._q.get()
+            if req is _CLOSE:
+                break
+            window = [req]
+            deadline = time.monotonic() + self.max_delay_s
+            while len(window) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                try:
+                    nxt = (self._q.get_nowait() if remaining <= 0
+                           else self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+                if nxt is _CLOSE:
+                    closing = True
+                    break
+                window.append(nxt)
+            self._dispatch_window(window)
+        # drain: a submit racing close() can land behind the sentinel
+        leftover = []
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not _CLOSE:
+                leftover.append(r)
+        if leftover:
+            self._dispatch_window(leftover)
+
+    def _dispatch_window(self, window: list) -> None:
+        groups = defaultdict(list)
+        for r in window:
+            groups[bucket_length(r.feats.shape[0], self.bucket)].append(r)
+        for n_bucket in sorted(groups):
+            for start in range(0, len(groups[n_bucket]), self.max_batch):
+                self._run_batch(n_bucket,
+                                groups[n_bucket][start:start + self.max_batch])
+
+    def _run_batch(self, n_bucket: int, items: list) -> None:
+        import jax.numpy as jnp
+
+        b_real = len(items)
+        b = _next_pow2(b_real)
+        d = self._cfg.in_features
+        x = np.full((b, n_bucket, d), self.pad_value, dtype=np.float32)
+        mask = np.ones((b, n_bucket), dtype=bool)
+        for i in range(b):
+            r = items[i % b_real]   # pad rows repeat real requests
+            n = r.feats.shape[0]
+            x[i, :n] = r.feats
+            mask[i, :n] = False
+        try:
+            out = np.asarray(self._fwd(self._params, jnp.asarray(x),
+                                       jnp.asarray(mask)), dtype=np.float32)
+        except Exception as e:  # noqa: BLE001 — fail every rider, keep serving
+            with self._lock:
+                self._stats["failed"] += b_real
+            for r in items:
+                r.future.set_exception(e)
+            return
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["rows_scored"] += b_real
+            self._stats["rows_padded"] += b - b_real
+            self._batch_hist[b_real] += 1
+        for i, r in enumerate(items):
+            scores = out[i, : r.feats.shape[0]].copy()
+            self._pool.submit(self._finish, r, scores)
+
+    # ------------------------------------------------------- shot selection
+
+    def _finish(self, r: _Request, scores: np.ndarray) -> None:
+        try:
+            summary = cps = None
+            if r.want_summary:
+                cps = r.change_points
+                if cps is None:
+                    cps = self._auto_segments(r.feats, r.n_frames)
+                [summary] = generate_summary([cps], [scores], [r.n_frames],
+                                             [r.picks],
+                                             budget_ratio=r.budget_ratio)
+            res = ServeResult(scores=scores, summary=summary,
+                              change_points=cps, n_frames=r.n_frames,
+                              latency_s=time.monotonic() - r.t_enq)
+            with self._lock:
+                self._stats["completed"] += 1
+                self._latencies.append(res.latency_s)
+            r.future.set_result(res)
+        except Exception as e:  # noqa: BLE001 — propagate into the future
+            with self._lock:
+                self._stats["failed"] += 1
+            r.future.set_exception(e)
+
+    def _auto_segments(self, feats: np.ndarray, n_frames: int) -> np.ndarray:
+        """Auto-KTS shot bounds, arithmetic-identical to
+        ``pipeline._finish_video`` (float64 gram, ncp = n//25, sampled-space
+        bounds scaled to original frames)."""
+        n = feats.shape[0]
+        g = feats.astype(np.float64)
+        cps, _ = kts_segmentation(g @ g.T, max(n // 25, 1), vmax=1.0)
+        bounds = change_points_from_cps(cps, n)
+        if n_frames == n:
+            return bounds
+        ratio = n_frames / n
+        starts = np.round(bounds[:, 0] * ratio).astype(np.int64)
+        ends = np.concatenate([starts[1:] - 1, [n_frames - 1]])
+        return np.stack([starts, ends], axis=1)

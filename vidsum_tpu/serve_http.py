@@ -1,0 +1,118 @@
+"""Minimal HTTP front-end for :class:`vidsum_tpu.serve.ScoringService`.
+
+Stdlib-only (``http.server`` threading server) so the serving stack has no
+dependencies beyond the framework itself. One process, one chip, one queue;
+replicate behind any external load balancer for horizontal scale.
+
+Protocol:
+
+- ``POST /summarize`` — body is an ``.npz`` payload with ``features``
+  (n, in_features) float32 and optionally ``picks`` (n,), ``n_frames``
+  (scalar), ``change_points`` (S, 2). Query params: ``summary=0`` to skip
+  shot selection, ``budget=0.15`` to override the knapsack budget ratio.
+  Response JSON: ``scores`` (per input row), ``summary_frames`` (selected
+  original-frame indices), ``change_points``, ``n_frames``,
+  ``latency_s``.
+- ``GET /healthz`` — liveness.
+- ``GET /stats`` — the service's :class:`~vidsum_tpu.serve.ServeStats`.
+
+The threaded handler only enqueues into the service and blocks on the
+future, so concurrency is bounded by the service's micro-batcher, not by
+HTTP threads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from vidsum_tpu.serve import ScoringService
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by make_server on the server object
+    server: "SummarizationHTTPServer"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if self.server.verbose:
+            super().log_message(fmt, *args)
+
+    def _send_json(self, obj, status: int = 200) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            self._send_json({"ok": True})
+        elif path == "/stats":
+            self._send_json(dataclasses.asdict(self.server.service.stats()))
+        else:
+            self._send_json({"error": f"unknown path {path}"}, status=404)
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        url = urlparse(self.path)
+        if url.path != "/summarize":
+            self._send_json({"error": f"unknown path {url.path}"}, status=404)
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            with np.load(io.BytesIO(self.rfile.read(length))) as z:
+                if "features" not in z:
+                    raise ValueError("npz payload must contain 'features'")
+                feats = z["features"]
+                picks = z["picks"] if "picks" in z else None
+                n_frames = (int(z["n_frames"].reshape(())) if "n_frames" in z
+                            else None)
+                cps = z["change_points"] if "change_points" in z else None
+            q = parse_qs(url.query)
+            want_summary = q.get("summary", ["1"])[0] not in ("0", "false")
+            budget = (float(q["budget"][0]) if "budget" in q else None)
+            res = self.server.service.summarize(
+                feats, picks=picks, n_frames=n_frames, change_points=cps,
+                want_summary=want_summary, budget_ratio=budget)
+        except (ValueError, KeyError, OSError) as e:
+            self._send_json({"error": str(e)}, status=400)
+            return
+        out = {
+            "scores": np.asarray(res.scores, dtype=np.float64).tolist(),
+            "n_frames": res.n_frames,
+            "latency_s": res.latency_s,
+        }
+        if res.summary is not None:
+            out["summary_frames"] = np.nonzero(res.summary)[0].tolist()
+            out["change_points"] = res.change_points.tolist()
+        self._send_json(out)
+
+
+class SummarizationHTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, service: ScoringService, verbose: bool = False):
+        self.service = service
+        self.verbose = verbose
+        super().__init__(addr, _Handler)
+
+
+def make_server(service: ScoringService, host: str = "127.0.0.1",
+                port: int = 0) -> SummarizationHTTPServer:
+    """Bind (port 0 = ephemeral; read ``server.server_address``). Call
+    ``serve_forever()`` or drive it from a thread (tests do the latter)."""
+    return SummarizationHTTPServer((host, port), service)
+
+
+def run_in_thread(server: SummarizationHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=server.serve_forever, daemon=True,
+                         name="vidsum-http")
+    t.start()
+    return t
