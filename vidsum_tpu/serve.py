@@ -18,6 +18,14 @@ two the TPU way:
   composition — each row is masked independently and no op mixes rows — so a
   batched request scores bit-identically to a solo call
   (``tests/test_serve.py``);
+- the wire is treated as a first-class resource (on relay-attached hosts it
+  is the serving bottleneck — PERF.md "Serving"): each request's padded
+  feature row ships host→device *asynchronously at submit time*, so
+  transfers overlap earlier batches' compute; batches are assembled on
+  device (``jnp.stack`` of the already-resident rows), so batch-dim padding
+  costs zero wire bytes; and ``wire_dtype="auto"`` ships bfloat16 whenever
+  the model computes in bfloat16 — bit-identical scores (``simnet_apply``
+  casts inputs to ``compute_dtype`` in-model) for half the bytes;
 - shot selection (KTS + knapsack, the bit-parity host pipeline of
   ``ops/{kts,summary,knapsack}``) runs on a worker pool, so the dispatcher
   is back on the accelerator while the CPU picks shots.
@@ -68,7 +76,8 @@ class ServeStats:
     failed: int
     batches: int
     rows_scored: int          # real request rows sent to the accelerator
-    rows_padded: int          # repeated rows added for power-of-two batches
+    rows_padded: int          # repeated rows for power-of-two batches (they
+                              # reuse device-resident arrays: zero wire cost)
     batch_hist: Dict[int, int]  # real-rows-per-batch -> count
     latency_mean_s: float
     latency_p50_s: float
@@ -79,6 +88,8 @@ class ServeStats:
 @dataclasses.dataclass
 class _Request:
     feats: np.ndarray
+    row_dev: object            # (n_bucket, D) device array, transfer in flight
+    n_bucket: int
     picks: Optional[np.ndarray]
     n_frames: int
     change_points: Optional[np.ndarray]
@@ -111,6 +122,11 @@ class ScoringService:
         whatever is already queued.
     :param attn_impl: scorer attention impl; default picks the fused block
         kernels on TPU and XLA elsewhere (same policy as ``pipeline.py``).
+    :param wire_dtype: dtype of the host→device feature transfer.
+        ``"auto"`` (default) matches ``cfg.compute_dtype`` — bit-identical
+        scores, since the model casts its input to that dtype anyway
+        (models/simnet.py), and half the relay bytes when computing in
+        bfloat16. ``"float32"`` forces full-precision wire.
     """
 
     def __init__(self, params, cfg: ModelConfig, *,
@@ -119,8 +135,10 @@ class ScoringService:
                  bucket: int = 128, pad_value: float = 1000.0,
                  budget_ratio: float = 0.15,
                  selection_workers: int = 2,
+                 wire_dtype: str = "auto",
                  latency_window: int = 4096) -> None:
         import jax
+        import jax.numpy as jnp
 
         from vidsum_tpu.train.steps import make_eval_forward
 
@@ -130,6 +148,9 @@ class ScoringService:
         self._cfg = cfg
         self._params = params
         self._fwd = make_eval_forward(cfg, attn_impl=attn_impl)
+        self._wire_dtype = np.dtype(
+            jnp.dtype(cfg.compute_dtype if wire_dtype == "auto"
+                      else wire_dtype))
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.bucket = int(bucket)
@@ -197,7 +218,17 @@ class ScoringService:
             if change_points.ndim != 2 or change_points.shape[1] != 2:
                 raise ValueError("change_points must be (S, 2)")
         fut: Future = Future()
-        req = _Request(feats=feats, picks=picks, n_frames=n_frames,
+        # pad to the length bucket host-side and start the async transfer
+        # NOW: the wire (the bottleneck on relay-attached hosts) runs under
+        # earlier batches' compute instead of serializing in the dispatcher
+        import jax
+
+        n_bucket = bucket_length(n, self.bucket)
+        row = np.full((n_bucket, self._cfg.in_features), self.pad_value,
+                      dtype=self._wire_dtype)
+        row[:n] = feats.astype(self._wire_dtype)
+        req = _Request(feats=feats, row_dev=jax.device_put(row),
+                       n_bucket=n_bucket, picks=picks, n_frames=n_frames,
                        change_points=change_points,
                        want_summary=bool(want_summary),
                        budget_ratio=(self.budget_ratio if budget_ratio is None
@@ -304,7 +335,7 @@ class ScoringService:
     def _dispatch_window(self, window: list) -> None:
         groups = defaultdict(list)
         for r in window:
-            groups[bucket_length(r.feats.shape[0], self.bucket)].append(r)
+            groups[r.n_bucket].append(r)
         for n_bucket in sorted(groups):
             for start in range(0, len(groups[n_bucket]), self.max_batch):
                 self._run_batch(n_bucket,
@@ -315,17 +346,16 @@ class ScoringService:
 
         b_real = len(items)
         b = _next_pow2(b_real)
-        d = self._cfg.in_features
-        x = np.full((b, n_bucket, d), self.pad_value, dtype=np.float32)
         mask = np.ones((b, n_bucket), dtype=bool)
+        rows = []
         for i in range(b):
-            r = items[i % b_real]   # pad rows repeat real requests
-            n = r.feats.shape[0]
-            x[i, :n] = r.feats
-            mask[i, :n] = False
+            r = items[i % b_real]   # pad rows reuse device-resident rows:
+            rows.append(r.row_dev)  # the batch-dim pad costs zero wire bytes
+            mask[i, : r.feats.shape[0]] = False
         try:
-            out = np.asarray(self._fwd(self._params, jnp.asarray(x),
-                                       jnp.asarray(mask)), dtype=np.float32)
+            x = jnp.stack(rows)     # on device; transfers began at submit()
+            out = np.asarray(self._fwd(self._params, x, jnp.asarray(mask)),
+                             dtype=np.float32)
         except Exception as e:  # noqa: BLE001 — fail every rider, keep serving
             with self._lock:
                 self._stats["failed"] += b_real
