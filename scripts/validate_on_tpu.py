@@ -444,5 +444,69 @@ def main() -> None:
     print("ALL ON-CHIP VALIDATIONS PASSED")
 
 
+def check_serving() -> None:
+    """Serving-path equality on chip (ADVICE r2 #1 treatment extended to
+    the serving transport): the ScoringService — bf16 wire, device-stack
+    batching, fused block kernels — must produce the same scores and select
+    the same shots as the offline eval scorer fed the same videos."""
+    assert jax.default_backend() == "tpu", "run on the TPU host"
+    from vidsum_tpu.config import ModelConfig
+    from vidsum_tpu.data.collate import bucket_length
+    from vidsum_tpu.models import init_simnet
+    from vidsum_tpu.ops.summary import generate_summary
+    from vidsum_tpu.serve import ScoringService
+    from vidsum_tpu.train.steps import make_eval_forward
+
+    rng = np.random.default_rng(11)
+    cfg = ModelConfig(compute_dtype="bfloat16")
+    params = init_simnet(jax.random.PRNGKey(0), cfg)
+    lengths = [100, 250, 320, 450, 512, 512, 700, 90]
+    videos = [rng.normal(size=(n, cfg.in_features)).astype(np.float32)
+              for n in lengths]
+
+    fwd = make_eval_forward(cfg, attn_impl="pallas_block")
+
+    def offline(v):
+        n = v.shape[0]
+        nb = bucket_length(n, 128)
+        x = np.full((1, nb, cfg.in_features), 1000.0, np.float32)
+        m = np.ones((1, nb), bool)
+        x[0, :n] = v
+        m[0, :n] = False
+        return np.asarray(fwd(params, jnp.asarray(x), jnp.asarray(m)),
+                          np.float32)[0, :n]
+
+    with ScoringService(params, cfg, max_batch=8, max_delay_ms=300.0) as svc:
+        futs = [svc.submit(v, want_summary=False) for v in videos]
+        served = [f.result(timeout=600).scores for f in futs]
+        st = svc.stats()
+    assert st.batches < len(videos), "window did not batch — check not valid"
+    worst = 0.0
+    n_sel_eq = 0
+    for v, s in zip(videos, served):
+        o = offline(v)
+        n = v.shape[0]
+        worst = max(worst, float(np.abs(s - o).max()))
+        # ~12 shots of uneven length so the knapsack has real choices
+        edges = np.unique(np.linspace(0, n, 13).astype(np.int64))
+        cps = np.stack([edges[:-1], edges[1:] - 1], axis=1)
+        picks = np.arange(n)
+        [sum_s] = generate_summary([cps], [s], [n], [picks])
+        [sum_o] = generate_summary([cps], [o], [n], [picks])
+        n_sel_eq += int(np.array_equal(sum_s, sum_o))
+    # served bf16-wire rows equal the offline path's in-model bf16 cast
+    # (round-to-nearest both ways); kernels are row-independent, so scores
+    # should be bit-close — tolerance covers grouped-kernel tiling variants
+    check("serving scores vs offline pallas_block", worst < 2e-3,
+          f"max |diff| {worst:.2e} over {len(videos)} videos "
+          f"({st.batches} batches)")
+    check("serving shot selection vs offline",
+          n_sel_eq == len(videos), f"{n_sel_eq}/{len(videos)} equal")
+
+
 if __name__ == "__main__":
-    main()
+    if "--serve-only" in sys.argv:
+        check_serving()
+    else:
+        main()
+        check_serving()
