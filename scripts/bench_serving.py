@@ -117,7 +117,7 @@ def main() -> None:
     print(f"{'conc':>5} {'req/s':>8} {'frames/s':>10} {'p50 ms':>8} "
           f"{'p95 ms':>8} {'p99 ms':>8} {'batches':>8} {'pad rows':>8}")
     for conc in [int(s) for s in args.concurrency.split(",")]:
-        svc.warmup(lengths=[])  # reset stats between levels
+        svc.reset_stats()
         wall, frames = run_level(svc, lengths, cfg.in_features, conc,
                                  args.requests, args.summary)
         st = svc.stats()

@@ -43,7 +43,7 @@ import threading
 import time
 from collections import defaultdict, deque
 from concurrent.futures import Future, ThreadPoolExecutor
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -234,11 +234,14 @@ class ScoringService:
                        budget_ratio=(self.budget_ratio if budget_ratio is None
                                      else float(budget_ratio)),
                        future=fut, t_enq=time.monotonic())
+        # check-and-enqueue under the same lock close() uses to set the flag
+        # and post the sentinel, so a request is either enqueued ahead of
+        # the sentinel (and served by the drain) or rejected — never orphaned
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")
             self._stats["requests"] += 1
-        self._q.put(req)
+            self._q.put(req)
         return fut
 
     def summarize(self, features: np.ndarray, **kw) -> ServeResult:
@@ -262,6 +265,9 @@ class ScoringService:
                 for f in futs:
                     f.result()
         # warmup traffic shouldn't pollute the serving stats
+        self.reset_stats()
+
+    def reset_stats(self) -> None:
         with self._lock:
             self._stats = dict(requests=0, completed=0, failed=0, batches=0,
                                rows_scored=0, rows_padded=0)
@@ -288,7 +294,7 @@ class ScoringService:
             if self._closed:
                 return
             self._closed = True
-        self._q.put(_CLOSE)
+            self._q.put(_CLOSE)
         self._dispatcher.join(timeout=timeout)
         self._pool.shutdown(wait=True)
 
