@@ -25,7 +25,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 # which can exceed that on this one-core box (observed in dryrun[c]).
 if "collective_call_terminate_timeout" not in _flags:
     _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-               " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
 os.environ["XLA_FLAGS"] = _flags
 
 if "jax" in sys.modules:

@@ -59,7 +59,7 @@ def _worker_env():
     env["VIDSUM_TPU_CACHE_DIR"] = "off"
     env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4 "
                         "--xla_cpu_collective_call_terminate_timeout_seconds"
-                        "=3600")
+                        "=900")
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in (env.get("PYTHONPATH", ""), REPO) if p)
     return env
