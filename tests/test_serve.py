@@ -215,3 +215,153 @@ def test_http_no_summary_flag(params):
             assert len(out["scores"]) == 40
         finally:
             server.shutdown()
+
+
+# ---------------------------------------------------------------- mesh mode
+
+def _mesh8():
+    from jax.sharding import Mesh
+
+    # axis names are deliberately arbitrary: the service uses the device
+    # SET (flattened) — short requests replica-parallel over all 8, long
+    # requests sequence-parallel over all 8
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(devs, ("data", "seq"))
+
+
+def test_mesh_replica_scores_match_solo(params):
+    """Replica-parallel batches (shard_map over 8 devices, rows committed
+    round-robin at submit) score each video identically to the offline
+    single-device scorer."""
+    rng = np.random.default_rng(10)
+    lengths = [37, 100, 128, 250, 256, 300, 64, 90, 128, 200, 47, 130, 77]
+    videos = [_video(rng, n) for n in lengths]
+    with ScoringService(params, CFG, mesh=_mesh8(), max_batch=16,
+                        max_delay_ms=200.0) as svc:
+        futs = [svc.submit(v, want_summary=False) for v in videos]
+        results = [f.result(timeout=300) for f in futs]
+        st = svc.stats()
+    for v, r in zip(videos, results):
+        assert r.scores.shape == (v.shape[0],)
+        np.testing.assert_allclose(r.scores, _solo_scores(params, v),
+                                   rtol=1e-6, atol=1e-7)
+    assert st.completed == len(videos) and st.failed == 0
+    assert st.long_requests == 0
+    # every batch is padded to a multiple of the replica count (8)
+    assert st.rows_scored + st.rows_padded >= st.batches * 8
+
+
+def test_mesh_rebalance_accounting(params):
+    """Submitting one bucket-128 video between bucket-256 videos skews the
+    round-robin assignment within each bucket group; the dispatcher must
+    still form balanced shards (rebalanced rows show up in rows_moved, and
+    every video's scores stay correct)."""
+    rng = np.random.default_rng(11)
+    videos = [_video(rng, 64), _video(rng, 200), _video(rng, 70),
+              _video(rng, 220), _video(rng, 90)]
+    with ScoringService(params, CFG, mesh=_mesh8(), max_batch=16,
+                        max_delay_ms=200.0) as svc:
+        futs = [svc.submit(v, want_summary=False) for v in videos]
+        results = [f.result(timeout=300) for f in futs]
+        st = svc.stats()
+    for v, r in zip(videos, results):
+        np.testing.assert_allclose(r.scores, _solo_scores(params, v),
+                                   rtol=1e-6, atol=1e-7)
+    assert st.failed == 0 and st.completed == len(videos)
+
+
+def test_mesh_long_request_routes_to_ring(params):
+    """A request past long_threshold takes the sequence-parallel ring over
+    all 8 devices and matches the dense single-device forward; short
+    requests in the same window still batch normally."""
+    cfg = ModelConfig(in_features=32, d_model=64, num_heads=4, num_layers=2,
+                      dropout=0.0, max_len=2048)
+    prm = init_simnet(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(12)
+    long_feats = rng.normal(size=(700, 32)).astype(np.float32)
+    short_feats = rng.normal(size=(90, 32)).astype(np.float32)
+    with ScoringService(prm, cfg, mesh=_mesh8(), long_threshold=256,
+                        max_delay_ms=100.0) as svc:
+        f_long = svc.submit(long_feats, want_summary=False)
+        f_short = svc.submit(short_feats, want_summary=False)
+        r_long = f_long.result(timeout=600)
+        r_short = f_short.result(timeout=600)
+        st = svc.stats()
+    assert st.long_requests == 1 and st.failed == 0
+    # dense single-device reference on the ring's padded length (8 shards
+    # of 128): granule = 128 * 8
+    nb = 1024
+    x = np.full((1, nb, 32), 1000.0, np.float32)
+    mask = np.ones((1, nb), bool)
+    x[0, :700] = long_feats
+    mask[0, :700] = False
+    from vidsum_tpu.models import simnet_apply
+    scores, _ = simnet_apply(prm, cfg, jnp.asarray(x), jnp.asarray(mask))
+    want = np.asarray(jax.nn.sigmoid(scores[0, :700, 0]), np.float32)
+    np.testing.assert_allclose(r_long.scores, want, rtol=2e-4, atol=2e-4)
+    assert r_short.scores.shape == (90,)
+    assert np.all((r_short.scores > 0) & (r_short.scores < 1))
+
+
+def test_mesh_long_summary_composition(params):
+    """Long route end-to-end with shot selection: the summary equals the
+    offline composition of the served scores."""
+    cfg = ModelConfig(in_features=32, d_model=64, num_heads=4, num_layers=1,
+                      dropout=0.0, max_len=2048)
+    prm = init_simnet(jax.random.PRNGKey(8), cfg)
+    rng = np.random.default_rng(13)
+    n, n_frames = 600, 3000
+    feats = rng.normal(size=(n, 32)).astype(np.float32)
+    picks = np.arange(n, dtype=np.int64) * 5
+    cps = np.asarray([[0, 999], [1000, 1999], [2000, 2999]], np.int64)
+    with ScoringService(prm, cfg, mesh=_mesh8(), long_threshold=256,
+                        max_delay_ms=0.0) as svc:
+        res = svc.summarize(feats, picks=picks, n_frames=n_frames,
+                            change_points=cps)
+    [want] = generate_summary([cps], [res.scores], [n_frames], [picks],
+                              budget_ratio=0.15)
+    np.testing.assert_array_equal(res.summary, want)
+
+
+def test_default_long_threshold_is_single_chip_envelope():
+    """With no explicit threshold the routing boundary is the key-folded
+    kernel's envelope at the model's head dim and compute dtype."""
+    from vidsum_tpu.ops.attention import flash_forward_supported
+    from vidsum_tpu.serve import _single_chip_max_len
+
+    # Dh=64 at the flagship's bf16 compute dtype
+    cfg = ModelConfig(d_model=256, num_heads=4, compute_dtype="bfloat16")
+    n = _single_chip_max_len(cfg, 128)
+    assert n % 128 == 0
+    # every bucketed length up to the threshold is inside the envelope;
+    # the next bucket is the FIRST unsupported one (the envelope is jagged
+    # in N because the folded key block must divide N, so the threshold is
+    # conservatively the first gap)
+    for m in range(128, n + 1, 128 * 64):
+        assert flash_forward_supported(m, 64, 2)
+    assert flash_forward_supported(n, 64, 2)
+    assert not flash_forward_supported(n + 128, 64, 2)
+    # the measured single-chip scoring ladder carries 40,960 (PERF.md) —
+    # the default threshold must not route those to the ring
+    assert n >= 40960
+
+
+def test_r3d_feature_serving():
+    """R3D-18 clip features (512-d, preprocess/r3d.py) serve through the
+    same service — only cfg.in_features differs."""
+    cfg = ModelConfig(in_features=512, d_model=64, num_heads=4, num_layers=1,
+                      dropout=0.0, max_len=256)
+    prm = init_simnet(jax.random.PRNGKey(9), cfg)
+    rng = np.random.default_rng(14)
+    feats = rng.normal(size=(150, 512)).astype(np.float32)
+    with ScoringService(prm, cfg, max_delay_ms=0.0) as svc:
+        res = svc.submit(feats, want_summary=False).result(timeout=120)
+    n = 150
+    nb = bucket_length(n, 128)
+    x = np.full((1, nb, 512), 1000.0, np.float32)
+    mask = np.ones((1, nb), bool)
+    x[0, :n] = feats
+    mask[0, :n] = False
+    fwd = make_eval_forward(cfg, attn_impl="xla")
+    want = np.asarray(fwd(prm, jnp.asarray(x), jnp.asarray(mask)))[0, :n]
+    np.testing.assert_array_equal(res.scores, want)

@@ -33,6 +33,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn", default=None,
                    help="attention impl override (default: fused block "
                         "kernels on TPU, XLA elsewhere)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="serve over the first N local devices: short "
+                        "requests batch replica-parallel across them, "
+                        "requests past --long_threshold run the sequence-"
+                        "parallel ring over all of them (default 1 = "
+                        "single-device service)")
+    p.add_argument("--long_threshold", type=int, default=None,
+                   help="feature-row count above which a request takes the "
+                        "sequence-parallel route (default: the single-chip "
+                        "kernel envelope; only meaningful with --devices>1)")
     p.add_argument("--warmup", default="128,256,512",
                    help="comma-separated lengths to pre-compile (empty "
                         "string to skip)")
@@ -67,10 +77,21 @@ def main(argv=None) -> None:
     else:
         logging.warning("no checkpoint given — serving random weights")
 
+    mesh = None
+    if args.devices > 1:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.devices:
+            raise SystemExit(f"--devices {args.devices} but only "
+                             f"{len(devs)} present")
+        mesh = Mesh(np.asarray(devs[: args.devices]), ("data",))
     service = ScoringService(params, cfg, attn_impl=args.attn,
                              max_batch=args.max_batch,
                              max_delay_ms=args.max_delay_ms,
-                             budget_ratio=args.budget)
+                             budget_ratio=args.budget,
+                             mesh=mesh, long_threshold=args.long_threshold)
     if args.warmup:
         lengths = [int(s) for s in args.warmup.split(",") if s]
         logging.info("warming up %s (compiles the program grid)...", lengths)

@@ -214,11 +214,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if vmem_single <= 12 * 1024 * 1024:
         return _flash_attention(q, k, v, pad_mask, scale, interpret)
     kb = _pick_key_block(N)
-    vmem_folded = (4 * N * Dh * q.dtype.itemsize + 6 * TILE_Q * kb * 4
-                   + 2 * TILE_Q * Dh * 4)
-    if vmem_folded <= 80 * 1024 * 1024:
+    if flash_forward_supported(N, Dh, q.dtype.itemsize):
         return _flash_attention_folded(q, k, v, pad_mask, scale, interpret,
                                        kb)
+    vmem_folded = _folded_forward_vmem(N, Dh, q.dtype.itemsize, kb)
     # Past the folded envelope (N ≳ 130k at Dh=64) a dense fallback would
     # need the (B, H, N, N) score tensor in HBM and OOM opaquely — fail
     # loudly with the same guidance as the train path (ADVICE r2).
@@ -228,6 +227,25 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         f"dense fallback cannot fit in HBM at this length. Use sequence "
         f"parallelism (vidsum_tpu.parallel.seq_forward) or a shorter "
         f"length bucket.")
+
+
+def _folded_forward_vmem(N: int, Dh: int, itemsize: int, kb: int) -> int:
+    # q/k/v/o (N, Dh) windows + the folded kernel's (TILE_Q, kb) f32 score/
+    # prob tiles + the two (TILE_Q, Dh) f32 carry accumulators
+    return (4 * N * Dh * itemsize + 6 * TILE_Q * kb * 4
+            + 2 * TILE_Q * Dh * 4)
+
+
+def flash_forward_supported(N: int, Dh: int, itemsize: int = 4) -> bool:
+    """True when the single-chip inference ladder's LAST rung (the key-
+    folded flash kernel) can carry a length-``N`` forward inside its 80 MB
+    scoped-VMEM envelope — the exact dispatch arithmetic
+    :func:`flash_attention` uses. ``N`` is assumed bucketed (multiple of
+    128, the collate contract); ``itemsize`` is the compute dtype's (2 for
+    bfloat16). Serving uses this to decide when a request must leave the
+    single-chip path for the sequence-parallel ring (``serve.py``)."""
+    return _folded_forward_vmem(N, Dh, itemsize,
+                                _pick_key_block(N)) <= 80 * 1024 * 1024
 
 
 def _xla_attention(q, k, v, pad_mask, scale):

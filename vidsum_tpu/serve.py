@@ -30,9 +30,27 @@ two the TPU way:
   ``ops/{kts,summary,knapsack}``) runs on a worker pool, so the dispatcher
   is back on the accelerator while the CPU picks shots.
 
-Single-host by design: one process owns the chip and the queue. Multi-chip
-serving shards the *model* (``parallel/``), not this queue; run one service
-per replica behind any external load balancer.
+Single-host by design: one process owns its chips and the queue. Passing a
+``mesh`` turns on the multi-chip modes, both behind the same ``submit()``:
+
+- **replica-parallel short requests**: the batch dimension is sharded over
+  every mesh device (``shard_map`` over a flat ``data`` axis running the
+  identical local scorer — the fused kernels keep working because the
+  program, not the graph, is partitioned, same rationale as
+  ``parallel/dp_shardmap.py``). Submit-time rows are committed round-robin
+  across the devices, so the batch is assembled from device-resident shards
+  (``jax.make_array_from_single_device_arrays``) and the batch-dim pad still
+  costs zero wire bytes;
+- **long requests** (past the single-chip kernel envelope,
+  ``ops.attention.flash_forward_supported``, or past an explicit
+  ``long_threshold``): routed to the exact sequence-parallel ring forward
+  (``parallel/seq_forward.py``) over all mesh devices — activations scale
+  O(N/P) per device and no N×N tensor ever exists, so videos no single chip
+  can score stay servable. The row ships seq-sharded at submit time.
+
+Cross-host serving still composes externally: run one service per host
+behind any load balancer (requests are independent; there is no cross-
+request state).
 """
 
 from __future__ import annotations
@@ -78,6 +96,9 @@ class ServeStats:
     rows_scored: int          # real request rows sent to the accelerator
     rows_padded: int          # repeated rows for power-of-two batches (they
                               # reuse device-resident arrays: zero wire cost)
+    rows_moved: int           # mesh mode: rows re-committed to another
+                              # replica to balance a shard (ICI, not wire)
+    long_requests: int        # mesh mode: requests routed to the ring
     batch_hist: Dict[int, int]  # real-rows-per-batch -> count
     latency_mean_s: float
     latency_p50_s: float
@@ -88,7 +109,9 @@ class ServeStats:
 @dataclasses.dataclass
 class _Request:
     feats: np.ndarray
-    row_dev: object            # (n_bucket, D) device array, transfer in flight
+    row_dev: object            # (n_bucket, D) device array, transfer in
+                               # flight (long route: (1, n_bucket, D),
+                               # seq-sharded over the mesh)
     n_bucket: int
     picks: Optional[np.ndarray]
     n_frames: int
@@ -97,6 +120,8 @@ class _Request:
     budget_ratio: float
     future: Future
     t_enq: float
+    dev_idx: int = -1          # mesh mode: replica the row is committed to
+    long: bool = False         # mesh mode: sequence-parallel route
 
 
 _CLOSE = object()
@@ -107,6 +132,51 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def _make_replica_forward(cfg: ModelConfig, rep_mesh, attn_impl: str):
+    """Batch-sharded eval forward over a flat ``data`` mesh axis: every
+    device runs the identical local scorer on its batch shard (shard_map,
+    not GSPMD, so the fused Pallas kernels keep working on-mesh — the same
+    rationale as ``parallel/dp_shardmap.py``). Per-row arithmetic is the
+    single-device program's, so scores stay batch-composition-invariant."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from vidsum_tpu.models.simnet import simnet_apply
+
+    def local_fwd(params, x, pad_mask):
+        scores, _ = simnet_apply(params, cfg, x, pad_mask,
+                                 deterministic=True, attn_impl=attn_impl)
+        return jax.nn.sigmoid(scores[..., 0])
+
+    @jax.jit
+    def fwd(params, x, pad_mask):
+        return jax.shard_map(
+            local_fwd, mesh=rep_mesh,
+            in_specs=(P(), P("data", None, None), P("data", None)),
+            out_specs=P("data", None),
+            check_vma=False,  # pallas outputs carry no vma type
+        )(params, x, pad_mask)
+
+    return fwd
+
+
+def _single_chip_max_len(cfg: ModelConfig, bucket: int) -> int:
+    """Largest bucketed length the single-chip kernel ladder carries —
+    the default mesh-mode routing threshold (requests past it take the
+    sequence-parallel ring)."""
+    import jax.numpy as jnp
+
+    from vidsum_tpu.ops.attention import flash_forward_supported
+
+    dh = cfg.d_model // cfg.num_heads
+    itemsize = jnp.dtype(cfg.compute_dtype).itemsize
+    n = bucket
+    while n < (1 << 21) and flash_forward_supported(n + bucket, dh,
+                                                    itemsize):
+        n += bucket
+    return n
 
 
 class ScoringService:
@@ -127,6 +197,17 @@ class ScoringService:
         scores, since the model casts its input to that dtype anyway
         (models/simnet.py), and half the relay bytes when computing in
         bfloat16. ``"float32"`` forces full-precision wire.
+    :param mesh: optional ``jax.sharding.Mesh`` — serve over ALL its
+        devices: short requests batch replica-parallel across them, long
+        requests run the sequence-parallel ring (module docstring). Axis
+        names are ignored; the device set is what matters.
+    :param long_threshold: feature-row count above which a request takes
+        the sequence-parallel route (mesh mode only). Default: the largest
+        length the single-chip kernel ladder supports
+        (``ops.attention.flash_forward_supported`` at ``cfg``'s head dim
+        and compute dtype). Set lower to trade program count for long-tail
+        latency (a ring pass over P chips is ~P× faster than one chip at
+        the same N).
     """
 
     def __init__(self, params, cfg: ModelConfig, *,
@@ -136,7 +217,8 @@ class ScoringService:
                  budget_ratio: float = 0.15,
                  selection_workers: int = 2,
                  wire_dtype: str = "auto",
-                 latency_window: int = 4096) -> None:
+                 latency_window: int = 4096,
+                 mesh=None, long_threshold: Optional[int] = None) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -148,6 +230,43 @@ class ScoringService:
         self._cfg = cfg
         self._params = params
         self._fwd = make_eval_forward(cfg, attn_impl=attn_impl)
+        # --- mesh mode (replica-parallel batches + seq-parallel longs) ---
+        self._mesh_devices = None
+        self._rep_fwd = None
+        self._rep_sharding = None
+        self._long_fwd = None
+        self._long_sharding = None
+        self._long_threshold: Optional[int] = None
+        self._rr = 0
+        if mesh is not None and int(np.prod(mesh.devices.shape)) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            devs = list(np.asarray(mesh.devices).reshape(-1))
+            self._mesh_devices = devs
+            rep_mesh = Mesh(np.asarray(devs), ("data",))
+            self._rep_fwd = _make_replica_forward(cfg, rep_mesh, attn_impl)
+            self._rep_sharding = NamedSharding(rep_mesh,
+                                               P("data", None, None))
+            if not cfg.use_cls:  # the ring cannot prepend per-shard CLS
+                from vidsum_tpu.parallel.seq_forward import (
+                    make_seq_sharded_forward,
+                )
+
+                long_mesh = Mesh(np.asarray(devs).reshape(1, -1),
+                                 ("data", "seq"))
+                seq_fwd = make_seq_sharded_forward(cfg, long_mesh)
+
+                @jax.jit
+                def _long(params, x, pad_mask):
+                    scores, _ = seq_fwd(params, x, pad_mask)
+                    return jax.nn.sigmoid(scores[..., 0])
+
+                self._long_fwd = _long
+                self._long_sharding = NamedSharding(
+                    long_mesh, P("data", "seq", None))
+                if long_threshold is None:
+                    long_threshold = _single_chip_max_len(cfg, bucket)
+                self._long_threshold = int(long_threshold)
         self._wire_dtype = np.dtype(
             jnp.dtype(cfg.compute_dtype if wire_dtype == "auto"
                       else wire_dtype))
@@ -161,7 +280,8 @@ class ScoringService:
         self._closed = False
         self._lock = threading.Lock()
         self._stats = dict(requests=0, completed=0, failed=0, batches=0,
-                           rows_scored=0, rows_padded=0)
+                           rows_scored=0, rows_padded=0, rows_moved=0,
+                           long_requests=0)
         self._batch_hist: Dict[int, int] = defaultdict(int)
         self._latencies: deque = deque(maxlen=latency_window)
         self._pool = ThreadPoolExecutor(max_workers=selection_workers,
@@ -223,17 +343,40 @@ class ScoringService:
         # earlier batches' compute instead of serializing in the dispatcher
         import jax
 
-        n_bucket = bucket_length(n, self.bucket)
-        row = np.full((n_bucket, self._cfg.in_features), self.pad_value,
-                      dtype=self._wire_dtype)
-        row[:n] = feats.astype(self._wire_dtype)
-        req = _Request(feats=feats, row_dev=jax.device_put(row),
+        long = (self._long_fwd is not None
+                and n > self._long_threshold)
+        dev_idx = -1
+        if long:
+            # the ring needs equal shards: pad to bucket × n_devices and
+            # ship the row seq-sharded at submit time
+            granule = self.bucket * len(self._mesh_devices)
+            n_bucket = bucket_length(n, granule)
+            row = np.full((1, n_bucket, self._cfg.in_features),
+                          self.pad_value, dtype=self._wire_dtype)
+            row[0, :n] = feats.astype(self._wire_dtype)
+            row_dev = jax.device_put(row, self._long_sharding)
+        else:
+            n_bucket = bucket_length(n, self.bucket)
+            row = np.full((n_bucket, self._cfg.in_features), self.pad_value,
+                          dtype=self._wire_dtype)
+            row[:n] = feats.astype(self._wire_dtype)
+            if self._mesh_devices is None:
+                row_dev = jax.device_put(row)
+            else:
+                # commit rows round-robin over the replicas so the batch
+                # assembles from device-resident shards with no extra wire
+                with self._lock:
+                    dev_idx = self._rr % len(self._mesh_devices)
+                    self._rr += 1
+                row_dev = jax.device_put(row, self._mesh_devices[dev_idx])
+        req = _Request(feats=feats, row_dev=row_dev,
                        n_bucket=n_bucket, picks=picks, n_frames=n_frames,
                        change_points=change_points,
                        want_summary=bool(want_summary),
                        budget_ratio=(self.budget_ratio if budget_ratio is None
                                      else float(budget_ratio)),
-                       future=fut, t_enq=time.monotonic())
+                       future=fut, t_enq=time.monotonic(),
+                       dev_idx=dev_idx, long=long)
         # check-and-enqueue under the same lock close() uses to set the flag
         # and post the sentinel, so a request is either enqueued ahead of
         # the sentinel (and served by the drain) or rejected — never orphaned
@@ -270,7 +413,8 @@ class ScoringService:
     def reset_stats(self) -> None:
         with self._lock:
             self._stats = dict(requests=0, completed=0, failed=0, batches=0,
-                               rows_scored=0, rows_padded=0)
+                               rows_scored=0, rows_padded=0, rows_moved=0,
+                               long_requests=0)
             self._batch_hist = defaultdict(int)
             self._latencies.clear()
 
@@ -341,13 +485,18 @@ class ScoringService:
     def _dispatch_window(self, window: list) -> None:
         groups = defaultdict(list)
         for r in window:
-            groups[r.n_bucket].append(r)
+            if r.long:
+                self._run_long(r)
+            else:
+                groups[r.n_bucket].append(r)
         for n_bucket in sorted(groups):
             for start in range(0, len(groups[n_bucket]), self.max_batch):
                 self._run_batch(n_bucket,
                                 groups[n_bucket][start:start + self.max_batch])
 
     def _run_batch(self, n_bucket: int, items: list) -> None:
+        if self._mesh_devices is not None:
+            return self._run_batch_replica(n_bucket, items)
         import jax.numpy as jnp
 
         b_real = len(items)
@@ -376,6 +525,107 @@ class ScoringService:
         for i, r in enumerate(items):
             scores = out[i, : r.feats.shape[0]].copy()
             self._pool.submit(self._finish, r, scores)
+
+    def _run_batch_replica(self, n_bucket: int, items: list) -> None:
+        """Mesh-mode batch: assemble a batch-sharded global array from the
+        device-resident rows (k rows per replica, k the next power of two
+        of ``ceil(b_real / R)``) and run the shard_map forward. Rows landed
+        round-robin at submit, so a batch drawn from consecutive submits is
+        near-balanced; stragglers are re-committed replica-to-replica (ICI,
+        never back over the host wire)."""
+        import jax
+        import jax.numpy as jnp
+
+        devs = self._mesh_devices
+        R = len(devs)
+        b_real = len(items)
+        k = _next_pow2(-(-b_real // R))
+        b = R * k
+        by_dev: list = [[] for _ in range(R)]
+        for r in items:
+            by_dev[r.dev_idx].append(r)
+        moved = 0
+        try:
+            # rebalance: replicas holding more than k rows donate to ones
+            # holding fewer
+            overflow = [r for g in by_dev for r in g[k:]]
+            for g in by_dev:
+                del g[k:]
+            for d in range(R):
+                while len(by_dev[d]) < k and overflow:
+                    r = overflow.pop()
+                    r.row_dev = jax.device_put(r.row_dev, devs[d])
+                    r.dev_idx = d
+                    by_dev[d].append(r)
+                    moved += 1
+            donor = next(g[0] for g in by_dev if g)
+            mask = np.ones((b, n_bucket), dtype=bool)
+            rows, real_slots = [], []
+            for d in range(R):
+                g = by_dev[d]
+                borrowed = None
+                for j in range(k):
+                    i = d * k + j
+                    if j < len(g):
+                        r = g[j]
+                        rows.append(r.row_dev)
+                        real_slots.append((i, r))
+                    elif g:  # pad by repeating a row already on this replica
+                        r = g[j % len(g)]
+                        rows.append(r.row_dev)
+                    else:    # empty replica: borrow one row over ICI
+                        if borrowed is None:
+                            borrowed = jax.device_put(donor.row_dev, devs[d])
+                            moved += 1
+                        r = donor
+                        rows.append(borrowed)
+                    mask[i, : r.feats.shape[0]] = False
+            shards = [jnp.stack(rows[d * k:(d + 1) * k]) for d in range(R)]
+            x = jax.make_array_from_single_device_arrays(
+                (b, n_bucket, self._cfg.in_features), self._rep_sharding,
+                shards)
+            out = np.asarray(self._rep_fwd(self._params, x,
+                                           jnp.asarray(mask)),
+                             dtype=np.float32)
+        except Exception as e:  # noqa: BLE001 — fail every rider, keep serving
+            with self._lock:
+                self._stats["failed"] += b_real
+            for r in items:
+                r.future.set_exception(e)
+            return
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["rows_scored"] += b_real
+            self._stats["rows_padded"] += b - b_real
+            self._stats["rows_moved"] += moved
+            self._batch_hist[b_real] += 1
+        for i, r in real_slots:
+            self._pool.submit(self._finish, r, out[i, : r.feats.shape[0]]
+                              .copy())
+
+    def _run_long(self, r: _Request) -> None:
+        """Mesh-mode long request: one sequence-parallel ring pass over all
+        devices. No batching — a long video saturates the mesh by itself,
+        and its O(N) work dwarfs the dispatch overhead."""
+        import jax.numpy as jnp
+
+        n = r.feats.shape[0]
+        mask = np.ones((1, r.n_bucket), dtype=bool)
+        mask[0, :n] = False
+        try:
+            out = np.asarray(self._long_fwd(self._params, r.row_dev,
+                                            jnp.asarray(mask)),
+                             dtype=np.float32)
+        except Exception as e:  # noqa: BLE001 — keep serving
+            with self._lock:
+                self._stats["failed"] += 1
+            r.future.set_exception(e)
+            return
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["rows_scored"] += 1
+            self._stats["long_requests"] += 1
+        self._pool.submit(self._finish, r, out[0, :n].copy())
 
     # ------------------------------------------------------- shot selection
 
