@@ -606,16 +606,18 @@ class ScoringService:
     def _run_long(self, r: _Request) -> None:
         """Mesh-mode long request: one sequence-parallel ring pass over all
         devices. No batching — a long video saturates the mesh by itself,
-        and its O(N) work dwarfs the dispatch overhead."""
+        and its O(N) work dwarfs the dispatch overhead. The dispatcher only
+        *launches* the (asynchronous) ring program; the host fetch happens
+        on the worker pool, so a multi-second ring pass never head-of-line
+        blocks the short-request batches behind it."""
         import jax.numpy as jnp
 
         n = r.feats.shape[0]
         mask = np.ones((1, r.n_bucket), dtype=bool)
         mask[0, :n] = False
         try:
-            out = np.asarray(self._long_fwd(self._params, r.row_dev,
-                                            jnp.asarray(mask)),
-                             dtype=np.float32)
+            out_dev = self._long_fwd(self._params, r.row_dev,
+                                     jnp.asarray(mask))
         except Exception as e:  # noqa: BLE001 — keep serving
             with self._lock:
                 self._stats["failed"] += 1
@@ -625,7 +627,18 @@ class ScoringService:
             self._stats["batches"] += 1
             self._stats["rows_scored"] += 1
             self._stats["long_requests"] += 1
-        self._pool.submit(self._finish, r, out[0, :n].copy())
+
+        def fetch_and_finish():
+            try:
+                out = np.asarray(out_dev, dtype=np.float32)
+            except Exception as e:  # noqa: BLE001 — device-side failure
+                with self._lock:
+                    self._stats["failed"] += 1
+                r.future.set_exception(e)
+                return
+            self._finish(r, out[0, :n].copy())
+
+        self._pool.submit(fetch_and_finish)
 
     # ------------------------------------------------------- shot selection
 
