@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import time
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -44,8 +45,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "sequence-parallel route (default: the single-chip "
                         "kernel envelope; only meaningful with --devices>1)")
     p.add_argument("--warmup", default="128,256,512",
-                   help="comma-separated lengths to pre-compile (empty "
-                        "string to skip)")
+                   help="comma-separated lengths to pre-compile — the full "
+                        "(bucket x batch) program grid is warmed for each "
+                        "(empty string to skip); warm restarts hit the "
+                        "persistent compile cache")
+    p.add_argument("--max_queue_depth", type=int, default=256,
+                   help="admission bound on in-flight requests; past it "
+                        "submit rejects with 503 (bounds device memory)")
+    p.add_argument("--max_request_len", type=int, default=None,
+                   help="optional cap on feature rows per request "
+                        "(default: the kernel-envelope caps only)")
+    p.add_argument("--max_body_bytes", type=int, default=256 * 1024 * 1024,
+                   help="HTTP payload cap (413 past it)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -91,12 +102,22 @@ def main(argv=None) -> None:
                              max_batch=args.max_batch,
                              max_delay_ms=args.max_delay_ms,
                              budget_ratio=args.budget,
+                             max_queue_depth=args.max_queue_depth,
+                             max_request_len=args.max_request_len,
                              mesh=mesh, long_threshold=args.long_threshold)
     if args.warmup:
         lengths = [int(s) for s in args.warmup.split(",") if s]
-        logging.info("warming up %s (compiles the program grid)...", lengths)
-        service.warmup(lengths=lengths)
-    server = make_server(service, host=args.host, port=args.port)
+        logging.info("warming up %s x batch grid (compiles or cache-loads "
+                     "every serving program)...", lengths)
+        t0 = time.monotonic()
+        warmed = service.warmup(lengths=lengths)
+        for n_b, b, dt in warmed:
+            logging.info("  warmed (bucket=%d, batch=%d) in %.2fs%s", n_b, b,
+                         dt, " [cache hit]" if dt < 2.0 else "")
+        logging.info("warmup: %d programs in %.1fs", len(warmed),
+                     time.monotonic() - t0)
+    server = make_server(service, host=args.host, port=args.port,
+                         max_body_bytes=args.max_body_bytes)
     server.verbose = args.verbose
     logging.info("serving on http://%s:%d (POST /summarize, GET /stats)",
                  *server.server_address)

@@ -51,6 +51,18 @@ Single-host by design: one process owns its chips and the queue. Passing a
 Cross-host serving still composes externally: run one service per host
 behind any load balancer (requests are independent; there is no cross-
 request state).
+
+**Admission control** (production hardening): ``submit()`` is gated by
+``max_queue_depth`` — the count of admitted-but-unresolved requests. Each
+admitted request pins one padded feature row in device HBM (that is the
+point: the transfer overlaps earlier batches' compute), so the depth bound
+is what bounds serving memory; past it ``submit()`` raises
+:class:`ServiceOverloaded` *before* any device transfer starts. Requests
+can carry a ``deadline_s``; ones still undispatched past their deadline
+fail with :class:`DeadlineExceeded` without touching the accelerator. And
+requests no compiled path can carry (past the single-chip kernel envelope
+with no ring route to take) are rejected at submit time with
+:class:`RequestTooLong` instead of failing a whole batch downstream.
 """
 
 from __future__ import annotations
@@ -59,8 +71,9 @@ import dataclasses
 import queue
 import threading
 import time
+import warnings
 from collections import defaultdict, deque
-from concurrent.futures import Future, ThreadPoolExecutor
+from concurrent.futures import Future, InvalidStateError, ThreadPoolExecutor
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -69,6 +82,22 @@ from vidsum_tpu.config import ModelConfig
 from vidsum_tpu.data.collate import bucket_length
 from vidsum_tpu.ops.kts import change_points_from_cps, kts_segmentation
 from vidsum_tpu.ops.summary import generate_summary
+
+
+class ServiceOverloaded(RuntimeError):
+    """``submit()`` rejected: ``max_queue_depth`` requests are already
+    admitted and unresolved. Retry after the backlog drains (HTTP 503)."""
+
+
+class RequestTooLong(ValueError):
+    """``submit()`` rejected: no compiled path on this service can carry a
+    sequence this long (single-chip kernel envelope, and the sequence-
+    parallel ring route is absent or disabled)."""
+
+
+class DeadlineExceeded(TimeoutError):
+    """The request's ``deadline_s`` elapsed before the dispatcher reached
+    it; it was dropped without being sent to the accelerator."""
 
 
 @dataclasses.dataclass
@@ -89,9 +118,11 @@ class ServeResult:
 
 @dataclasses.dataclass
 class ServeStats:
-    requests: int
+    requests: int             # admitted (excludes rejected)
     completed: int
-    failed: int
+    failed: int               # failed on/after the accelerator path
+    rejected: int             # refused at submit() (overload / too long)
+    expired: int              # deadline_s elapsed before dispatch
     batches: int
     rows_scored: int          # real request rows sent to the accelerator
     rows_padded: int          # repeated rows for power-of-two batches (they
@@ -120,6 +151,7 @@ class _Request:
     budget_ratio: float
     future: Future
     t_enq: float
+    deadline: Optional[float]  # absolute monotonic; None = no deadline
     dev_idx: int = -1          # mesh mode: replica the row is committed to
     long: bool = False         # mesh mode: sequence-parallel route
 
@@ -208,6 +240,15 @@ class ScoringService:
         and compute dtype). Set lower to trade program count for long-tail
         latency (a ring pass over P chips is ~P× faster than one chip at
         the same N).
+    :param max_queue_depth: admission bound — maximum admitted-but-
+        unresolved requests. Each admitted request pins one padded feature
+        row in device HBM (by design: the async transfer overlaps earlier
+        batches' compute), so this bound is the serving memory bound. Past
+        it ``submit()`` raises :class:`ServiceOverloaded` *before* any
+        host-side padding or device transfer.
+    :param max_request_len: optional operator cap on feature rows per
+        request, checked at submit time on top of the automatic kernel-
+        envelope caps (module docstring). ``None`` = envelope caps only.
     """
 
     def __init__(self, params, cfg: ModelConfig, *,
@@ -218,6 +259,8 @@ class ScoringService:
                  selection_workers: int = 2,
                  wire_dtype: str = "auto",
                  latency_window: int = 4096,
+                 max_queue_depth: int = 256,
+                 max_request_len: Optional[int] = None,
                  mesh=None, long_threshold: Optional[int] = None) -> None:
         import jax
         import jax.numpy as jnp
@@ -247,7 +290,23 @@ class ScoringService:
             self._rep_fwd = _make_replica_forward(cfg, rep_mesh, attn_impl)
             self._rep_sharding = NamedSharding(rep_mesh,
                                                P("data", None, None))
-            if not cfg.use_cls:  # the ring cannot prepend per-shard CLS
+            if cfg.use_cls:
+                # the ring cannot prepend per-shard CLS tokens, so the
+                # sequence-parallel long route does not exist; requests past
+                # the single-chip envelope are rejected at submit() instead
+                # of opaquely failing a whole replica batch (ADVICE r3).
+                if long_threshold is not None:
+                    raise ValueError(
+                        "long_threshold was given but cfg.use_cls=True "
+                        "disables the sequence-parallel long route (the "
+                        "ring cannot prepend per-shard CLS tokens); drop "
+                        "long_threshold or serve a use_cls=False config")
+                warnings.warn(
+                    "mesh serving with cfg.use_cls=True has no sequence-"
+                    "parallel long route; requests past the single-chip "
+                    "kernel envelope will be rejected at submit()",
+                    stacklevel=2)
+            else:
                 from vidsum_tpu.parallel.seq_forward import (
                     make_seq_sharded_forward,
                 )
@@ -275,11 +334,32 @@ class ScoringService:
         self.bucket = int(bucket)
         self.pad_value = float(pad_value)
         self.budget_ratio = float(budget_ratio)
+        self.max_queue_depth = int(max_queue_depth)
+        self.max_request_len = (None if max_request_len is None
+                                else int(max_request_len))
+        # submit-time length caps, from the same envelope arithmetic the
+        # kernel dispatch uses (flash_forward_supported): a request no
+        # compiled path can carry is rejected up front instead of failing
+        # every rider in its batch downstream. The XLA impl has no kernel
+        # envelope (it binds on HBM, for which there is no clean
+        # predicate) — cap via max_request_len if needed.
+        if attn_impl == "xla":
+            self._short_cap: Optional[int] = None
+            self._long_cap: Optional[int] = None
+        else:
+            self._short_cap = _single_chip_max_len(cfg, bucket)
+            # ring route: per-device shard is N/P, so the envelope scales
+            # by the device count (activations are O(N/P) by design)
+            self._long_cap = (self._short_cap * len(self._mesh_devices)
+                              if self._long_fwd is not None else None)
 
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
-        self._stats = dict(requests=0, completed=0, failed=0, batches=0,
+        self._inflight = 0   # admitted-but-unresolved requests (the HBM
+                             # high-water mark max_queue_depth bounds)
+        self._stats = dict(requests=0, completed=0, failed=0, rejected=0,
+                           expired=0, batches=0,
                            rows_scored=0, rows_padded=0, rows_moved=0,
                            long_requests=0)
         self._batch_hist: Dict[int, int] = defaultdict(int)
@@ -297,7 +377,8 @@ class ScoringService:
                n_frames: Optional[int] = None,
                change_points: Optional[np.ndarray] = None,
                want_summary: bool = True,
-               budget_ratio: Optional[float] = None) -> Future:
+               budget_ratio: Optional[float] = None,
+               deadline_s: Optional[float] = None) -> Future:
         """Enqueue one video's features; returns a ``Future[ServeResult]``.
 
         :param features: (n, in_features) frame features (e.g. GoogLeNet
@@ -311,6 +392,16 @@ class ScoringService:
             frames (the DSNet h5 layout). When absent and a summary is
             wanted, auto-KTS segments the features exactly like
             ``pipeline._finish_video``.
+        :param deadline_s: optional dispatch deadline in seconds from now.
+            If the dispatcher reaches the request after it expires, the
+            future fails with :class:`DeadlineExceeded` and the request
+            never dispatches to the accelerator. (Lazy: the device row was
+            already transferred at submit; expiry only saves the compute.)
+
+        :raises ServiceOverloaded: ``max_queue_depth`` admitted requests
+            are already unresolved (checked before any device transfer).
+        :raises RequestTooLong: no compiled path on this service carries a
+            sequence this long.
         """
         feats = np.asarray(features, dtype=np.float32)
         if feats.ndim != 2 or feats.shape[1] != self._cfg.in_features:
@@ -337,14 +428,53 @@ class ScoringService:
             change_points = np.asarray(change_points, dtype=np.int64)
             if change_points.ndim != 2 or change_points.shape[1] != 2:
                 raise ValueError("change_points must be (S, 2)")
+        long = (self._long_fwd is not None
+                and n > self._long_threshold)
+        # --- admission control: reject BEFORE any padding or device work ---
+        cap = self._long_cap if long else self._short_cap
+        if self.max_request_len is not None and (
+                cap is None or self.max_request_len < cap):
+            cap = self.max_request_len
+        if cap is not None and n > cap:
+            with self._lock:
+                self._stats["rejected"] += 1
+            route = ("sequence-parallel ring" if long
+                     else "single-chip kernel ladder")
+            raise RequestTooLong(
+                f"request has {n} feature rows but the {route} on this "
+                f"service carries at most {cap}"
+                + ("" if self.max_request_len is None
+                   else f" (max_request_len={self.max_request_len})"))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            if self._inflight >= self.max_queue_depth:
+                self._stats["rejected"] += 1
+                raise ServiceOverloaded(
+                    f"{self._inflight} admitted requests are unresolved "
+                    f"(max_queue_depth={self.max_queue_depth}); retry "
+                    f"after the backlog drains")
+            self._inflight += 1   # reserve the slot; released by
+            self._stats["requests"] += 1  # _complete/_fail on resolution
+        try:
+            return self._submit_admitted(
+                feats, n, picks, n_frames, change_points, want_summary,
+                budget_ratio, deadline_s, long)
+        except BaseException:
+            with self._lock:   # admission slot back on a failed transfer
+                self._inflight -= 1
+                self._stats["requests"] -= 1
+            raise
+
+    def _submit_admitted(self, feats, n, picks, n_frames, change_points,
+                         want_summary, budget_ratio, deadline_s,
+                         long) -> Future:
         fut: Future = Future()
         # pad to the length bucket host-side and start the async transfer
         # NOW: the wire (the bottleneck on relay-attached hosts) runs under
         # earlier batches' compute instead of serializing in the dispatcher
         import jax
 
-        long = (self._long_fwd is not None
-                and n > self._long_threshold)
         dev_idx = -1
         if long:
             # the ring needs equal shards: pad to bucket × n_devices and
@@ -369,13 +499,16 @@ class ScoringService:
                     dev_idx = self._rr % len(self._mesh_devices)
                     self._rr += 1
                 row_dev = jax.device_put(row, self._mesh_devices[dev_idx])
+        now = time.monotonic()
         req = _Request(feats=feats, row_dev=row_dev,
                        n_bucket=n_bucket, picks=picks, n_frames=n_frames,
                        change_points=change_points,
                        want_summary=bool(want_summary),
                        budget_ratio=(self.budget_ratio if budget_ratio is None
                                      else float(budget_ratio)),
-                       future=fut, t_enq=time.monotonic(),
+                       future=fut, t_enq=now,
+                       deadline=(None if deadline_s is None
+                                 else now + float(deadline_s)),
                        dev_idx=dev_idx, long=long)
         # check-and-enqueue under the same lock close() uses to set the flag
         # and post the sentinel, so a request is either enqueued ahead of
@@ -383,7 +516,6 @@ class ScoringService:
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")
-            self._stats["requests"] += 1
             self._q.put(req)
         return fut
 
@@ -392,27 +524,36 @@ class ScoringService:
         return self.submit(features, **kw).result()
 
     def warmup(self, lengths: Sequence[int] = (128,),
-               batch_sizes: Optional[Sequence[int]] = None) -> None:
+               batch_sizes: Optional[Sequence[int]] = None) -> list:
         """Pre-compile the (batch, bucket) program grid so first requests
-        don't pay the remote compile. Runs through the real dispatch path."""
+        don't pay the remote compile. Runs through the real dispatch path.
+        Returns ``[(n_bucket, batch, seconds), ...]`` — what was warmed and
+        what each program cost (near-zero on a persistent-cache hit, so the
+        return doubles as a cache-effectiveness report)."""
         if batch_sizes is None:
             batch_sizes = [1]
             while batch_sizes[-1] < self.max_batch:
                 batch_sizes.append(batch_sizes[-1] * 2)
+        warmed = []
         for n in lengths:
             n_b = bucket_length(int(n), self.bucket)
             for b in batch_sizes:
+                t0 = time.monotonic()
                 futs = [self.submit(
                     np.zeros((n_b, self._cfg.in_features), np.float32),
                     want_summary=False) for _ in range(min(b, self.max_batch))]
                 for f in futs:
                     f.result()
+                warmed.append((n_b, min(b, self.max_batch),
+                               time.monotonic() - t0))
         # warmup traffic shouldn't pollute the serving stats
         self.reset_stats()
+        return warmed
 
     def reset_stats(self) -> None:
         with self._lock:
-            self._stats = dict(requests=0, completed=0, failed=0, batches=0,
+            self._stats = dict(requests=0, completed=0, failed=0, rejected=0,
+                               expired=0, batches=0,
                                rows_scored=0, rows_padded=0, rows_moved=0,
                                long_requests=0)
             self._batch_hist = defaultdict(int)
@@ -433,13 +574,20 @@ class ScoringService:
                           latency_p99_s=q(0.99), **s)
 
     def close(self, timeout: Optional[float] = None) -> None:
-        """Drain the queue, stop the dispatcher, finish pending selection."""
+        """Drain the queue, stop the dispatcher, finish pending selection.
+
+        With a ``timeout``: if the dispatcher is still running when it
+        elapses, the worker pool is left up (the dispatcher needs it for
+        in-flight work — shutting it down would strand those futures on
+        ``RuntimeError('cannot schedule new futures')``); call ``close()``
+        again to finish. Idempotent."""
         with self._lock:
-            if self._closed:
-                return
-            self._closed = True
-            self._q.put(_CLOSE)
+            if not self._closed:
+                self._closed = True
+                self._q.put(_CLOSE)
         self._dispatcher.join(timeout=timeout)
+        if self._dispatcher.is_alive():
+            return
         self._pool.shutdown(wait=True)
 
     def __enter__(self):
@@ -447,6 +595,42 @@ class ScoringService:
 
     def __exit__(self, *exc):
         self.close()
+
+    # ------------------------------------------------- future resolution
+    # Every admitted request resolves through exactly one of these: they
+    # release the admission slot and tolerate caller-cancelled futures
+    # (set_* on a CANCELLED future raises InvalidStateError; swallowing it
+    # keeps one cancelled rider from stranding the rest of its batch).
+
+    def _complete(self, r: _Request, res: "ServeResult") -> None:
+        with self._lock:
+            self._stats["completed"] += 1
+            self._latencies.append(res.latency_s)
+            self._inflight -= 1
+        try:
+            r.future.set_result(res)
+        except InvalidStateError:
+            pass
+
+    def _fail(self, r: _Request, exc: BaseException,
+              stat: str = "failed") -> None:
+        with self._lock:
+            self._stats[stat] += 1
+            self._inflight -= 1
+        try:
+            r.future.set_exception(exc)
+        except InvalidStateError:
+            pass
+
+    def _expire_if_late(self, r: _Request) -> bool:
+        """Deadline check at dispatch time; True = dropped (never reaches
+        the accelerator)."""
+        if r.deadline is None or time.monotonic() <= r.deadline:
+            return False
+        self._fail(r, DeadlineExceeded(
+            f"deadline elapsed {time.monotonic() - r.deadline:.3f}s before "
+            f"dispatch"), stat="expired")
+        return True
 
     # ----------------------------------------------------------- dispatcher
 
@@ -456,6 +640,8 @@ class ScoringService:
             req = self._q.get()
             if req is _CLOSE:
                 break
+            if self._expire_if_late(req):
+                continue
             window = [req]
             deadline = time.monotonic() + self.max_delay_s
             while len(window) < self.max_batch:
@@ -468,7 +654,8 @@ class ScoringService:
                 if nxt is _CLOSE:
                     closing = True
                     break
-                window.append(nxt)
+                if not self._expire_if_late(nxt):
+                    window.append(nxt)
             self._dispatch_window(window)
         # drain: a submit racing close() can land behind the sentinel
         leftover = []
@@ -477,7 +664,7 @@ class ScoringService:
                 r = self._q.get_nowait()
             except queue.Empty:
                 break
-            if r is not _CLOSE:
+            if r is not _CLOSE and not self._expire_if_late(r):
                 leftover.append(r)
         if leftover:
             self._dispatch_window(leftover)
@@ -512,10 +699,8 @@ class ScoringService:
             out = np.asarray(self._fwd(self._params, x, jnp.asarray(mask)),
                              dtype=np.float32)
         except Exception as e:  # noqa: BLE001 — fail every rider, keep serving
-            with self._lock:
-                self._stats["failed"] += b_real
             for r in items:
-                r.future.set_exception(e)
+                self._fail(r, e)
             return
         with self._lock:
             self._stats["batches"] += 1
@@ -588,10 +773,8 @@ class ScoringService:
                                            jnp.asarray(mask)),
                              dtype=np.float32)
         except Exception as e:  # noqa: BLE001 — fail every rider, keep serving
-            with self._lock:
-                self._stats["failed"] += b_real
             for r in items:
-                r.future.set_exception(e)
+                self._fail(r, e)
             return
         with self._lock:
             self._stats["batches"] += 1
@@ -619,9 +802,7 @@ class ScoringService:
             out_dev = self._long_fwd(self._params, r.row_dev,
                                      jnp.asarray(mask))
         except Exception as e:  # noqa: BLE001 — keep serving
-            with self._lock:
-                self._stats["failed"] += 1
-            r.future.set_exception(e)
+            self._fail(r, e)
             return
         with self._lock:
             self._stats["batches"] += 1
@@ -632,9 +813,7 @@ class ScoringService:
             try:
                 out = np.asarray(out_dev, dtype=np.float32)
             except Exception as e:  # noqa: BLE001 — device-side failure
-                with self._lock:
-                    self._stats["failed"] += 1
-                r.future.set_exception(e)
+                self._fail(r, e)
                 return
             self._finish(r, out[0, :n].copy())
 
@@ -655,14 +834,9 @@ class ScoringService:
             res = ServeResult(scores=scores, summary=summary,
                               change_points=cps, n_frames=r.n_frames,
                               latency_s=time.monotonic() - r.t_enq)
-            with self._lock:
-                self._stats["completed"] += 1
-                self._latencies.append(res.latency_s)
-            r.future.set_result(res)
+            self._complete(r, res)
         except Exception as e:  # noqa: BLE001 — propagate into the future
-            with self._lock:
-                self._stats["failed"] += 1
-            r.future.set_exception(e)
+            self._fail(r, e)
 
     def _auto_segments(self, feats: np.ndarray, n_frames: int) -> np.ndarray:
         """Auto-KTS shot bounds, arithmetic-identical to

@@ -16,9 +16,18 @@ Protocol:
 - ``GET /healthz`` — liveness.
 - ``GET /stats`` — the service's :class:`~vidsum_tpu.serve.ServeStats`.
 
-The threaded handler only enqueues into the service and blocks on the
-future, so concurrency is bounded by the service's micro-batcher, not by
-HTTP threads.
+Admission control maps to HTTP statuses: payloads past ``max_body_bytes``
+are refused with 413 before the body is read; the service's
+:class:`~vidsum_tpu.serve.ServiceOverloaded` (the ``max_queue_depth``
+admission bound — what actually bounds in-flight work and device memory)
+becomes 503 with a ``Retry-After`` hint; ``RequestTooLong`` 413;
+``DeadlineExceeded`` (from the ``deadline`` query param, seconds) 504; any
+unexpected scorer/XLA failure 500 with a JSON body rather than a dropped
+connection.
+
+Query params on ``POST /summarize``: ``summary=0`` to skip shot selection,
+``budget=<float>`` knapsack budget ratio, ``deadline=<float>`` dispatch
+deadline in seconds.
 """
 
 from __future__ import annotations
@@ -32,7 +41,9 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from vidsum_tpu.serve import ScoringService
+from vidsum_tpu.serve import (
+    DeadlineExceeded, RequestTooLong, ScoringService, ServiceOverloaded,
+)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -67,6 +78,24 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
+            if length > self.server.max_body_bytes:
+                # refuse without BUFFERING the body (it never occupies
+                # handler memory) — but do drain-and-discard it in chunks,
+                # else the still-sending client hits a broken pipe before
+                # it can read the 413. Grossly abusive declarations (>4×
+                # cap) are not drained; the connection just closes.
+                self.close_connection = True
+                remaining = min(length, 4 * self.server.max_body_bytes)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 20))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                self._send_json(
+                    {"error": f"payload {length} bytes exceeds "
+                              f"max_body_bytes={self.server.max_body_bytes}"},
+                    status=413)
+                return
             with np.load(io.BytesIO(self.rfile.read(length))) as z:
                 if "features" not in z:
                     raise ValueError("npz payload must contain 'features'")
@@ -78,11 +107,33 @@ class _Handler(BaseHTTPRequestHandler):
             q = parse_qs(url.query)
             want_summary = q.get("summary", ["1"])[0] not in ("0", "false")
             budget = (float(q["budget"][0]) if "budget" in q else None)
+            deadline = (float(q["deadline"][0]) if "deadline" in q else None)
             res = self.server.service.summarize(
                 feats, picks=picks, n_frames=n_frames, change_points=cps,
-                want_summary=want_summary, budget_ratio=budget)
+                want_summary=want_summary, budget_ratio=budget,
+                deadline_s=deadline)
+        except ServiceOverloaded as e:
+            self.send_response(503)
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", "1")
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        except RequestTooLong as e:
+            self._send_json({"error": str(e)}, status=413)
+            return
+        except DeadlineExceeded as e:
+            self._send_json({"error": str(e)}, status=504)
+            return
         except (ValueError, KeyError, OSError) as e:
             self._send_json({"error": str(e)}, status=400)
+            return
+        except Exception as e:  # noqa: BLE001 — scorer/XLA/closed-service
+            # failures become a JSON 500, never a dropped connection
+            self._send_json(
+                {"error": f"{type(e).__name__}: {e}"}, status=500)
             return
         out = {
             "scores": np.asarray(res.scores, dtype=np.float64).tolist(),
@@ -98,17 +149,24 @@ class _Handler(BaseHTTPRequestHandler):
 class SummarizationHTTPServer(ThreadingHTTPServer):
     daemon_threads = True
 
-    def __init__(self, addr, service: ScoringService, verbose: bool = False):
+    def __init__(self, addr, service: ScoringService, verbose: bool = False,
+                 max_body_bytes: int = 256 * 1024 * 1024):
         self.service = service
         self.verbose = verbose
+        self.max_body_bytes = int(max_body_bytes)
         super().__init__(addr, _Handler)
 
 
 def make_server(service: ScoringService, host: str = "127.0.0.1",
-                port: int = 0) -> SummarizationHTTPServer:
+                port: int = 0,
+                max_body_bytes: int = 256 * 1024 * 1024
+                ) -> SummarizationHTTPServer:
     """Bind (port 0 = ephemeral; read ``server.server_address``). Call
-    ``serve_forever()`` or drive it from a thread (tests do the latter)."""
-    return SummarizationHTTPServer((host, port), service)
+    ``serve_forever()`` or drive it from a thread (tests do the latter).
+    ``max_body_bytes`` caps ``POST /summarize`` payloads (413 past it; the
+    256 MiB default comfortably fits a 160k-row float32 flagship payload)."""
+    return SummarizationHTTPServer((host, port), service,
+                                   max_body_bytes=max_body_bytes)
 
 
 def run_in_thread(server: SummarizationHTTPServer) -> threading.Thread:
