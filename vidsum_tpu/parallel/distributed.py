@@ -24,9 +24,23 @@ Multi-controller discipline (used by ``train/finetune.py`` /
 - host-side metric math (eval) runs redundantly on every process from the
   replicated params — cheap, deterministic, and avoids a broadcast.
 
+Restart discipline (failure recovery, SURVEY §5): the coordinator's
+``train_state.ckpt`` writes are atomic (tmp + ``os.replace``) and carry the
+full state — params, optimizer moments, epoch cursor, per-fold history —
+so after ANY process dies, the recovery procedure is simply: kill the
+remaining processes, relaunch ALL of them with ``resume=True`` (same
+process count; the checkpoint is topology-independent host data), and the
+run replays bit-identically from the last durable epoch (per-(split,
+epoch) RNG streams — ``train/finetune.py``). Every process reads the same
+checkpoint at resume, which is where the shared-filesystem assumption
+bites: the checkpoint directory must be visible to all hosts.
+
 Validated by ``tests/test_distributed.py``: a 2-process × 4-virtual-CPU-
 device harness (local TCP coordinator) must produce the same losses, eval
-metrics, and final params as the single-process 8-device run.
+metrics, and final params as the single-process 8-device run — and a
+coordinator hard-crash (``os._exit`` mid-protocol) followed by a 2-process
+``resume=True`` restart must be bit-identical to the uninterrupted
+2-process run (``test_two_process_kill_and_resume_is_exact``).
 """
 
 from __future__ import annotations
