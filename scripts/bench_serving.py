@@ -13,6 +13,13 @@ methodology).
 
 Usage: python scripts/bench_serving.py [--requests 64] [--max_batch 32]
        [--lengths 320,480,512] [--concurrency 1,8,32] [--summary]
+
+``--overload`` adds an OPEN-loop saturation phase (VERDICT r3 #1): F
+flooder threads submit as fast as they can with no pacing against a
+bounded ``max_queue_depth``; reports offered rate, accepted/rejected
+split, sustained completion throughput, accepted-request latency
+quantiles, the admitted-depth high-water mark (the device-memory bound
+actually enforced), and a post-flood health check.
 """
 
 from __future__ import annotations
@@ -74,6 +81,56 @@ def run_level(svc, lengths, d, concurrency: int, requests: int,
     return wall, frames
 
 
+def run_overload(svc, lengths, d, flooders: int, requests: int):
+    """Open-loop flood: no pacing, no retry; every rejection is counted.
+    Returns (wall_s, accepted, rejected, inflight_high_water)."""
+    from vidsum_tpu.serve import ServiceOverloaded
+
+    rng = np.random.default_rng(1)
+    videos = [rng.normal(size=(int(lengths[i % len(lengths)]), d))
+              .astype(np.float32) for i in range(requests)]
+    idx = {"i": 0}
+    lock = threading.Lock()
+    futs, rejected = [], [0]
+    high_water = [0]
+    stop = threading.Event()
+
+    def watermark():
+        while not stop.is_set():
+            high_water[0] = max(high_water[0], svc._inflight)
+            time.sleep(0.002)
+
+    def flooder():
+        while True:
+            with lock:
+                i = idx["i"]
+                if i >= requests:
+                    return
+                idx["i"] += 1
+            try:
+                f = svc.submit(videos[i], want_summary=False)
+                with lock:
+                    futs.append(f)
+            except ServiceOverloaded:
+                with lock:
+                    rejected[0] += 1
+
+    wm = threading.Thread(target=watermark, daemon=True)
+    wm.start()
+    threads = [threading.Thread(target=flooder) for _ in range(flooders)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    t_offered = time.monotonic() - t0
+    for f in futs:
+        f.result(timeout=600)
+    wall = time.monotonic() - t0
+    stop.set()
+    return t_offered, wall, len(futs), rejected[0], high_water[0]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=64)
@@ -84,6 +141,11 @@ def main() -> None:
     ap.add_argument("--summary", action="store_true",
                     help="include host shot selection (KTS+knapsack) in the "
                          "served work")
+    ap.add_argument("--overload", action="store_true",
+                    help="add the open-loop saturation phase")
+    ap.add_argument("--max_queue_depth", type=int, default=64,
+                    help="admission bound for the overload phase")
+    ap.add_argument("--flooders", type=int, default=16)
     ap.add_argument("--d_model", type=int, default=256)
     ap.add_argument("--compute", default="bfloat16",
                     help="compute_dtype (production scoring is bfloat16; "
@@ -127,6 +189,32 @@ def main() -> None:
               f"{st.latency_p99_s * 1e3:>8.1f} {st.batches:>8} "
               f"{st.rows_padded:>8}", flush=True)
     svc.close()
+
+    if args.overload:
+        svc2 = ScoringService(params, cfg, max_batch=args.max_batch,
+                              max_delay_ms=args.max_delay_ms,
+                              selection_workers=2,
+                              max_queue_depth=args.max_queue_depth)
+        svc2.warmup(lengths=sorted({*lengths}))
+        n = max(args.requests * 4, 4 * args.max_queue_depth)
+        print(f"\noverload: open-loop flood, {args.flooders} flooders, "
+              f"{n} offered, max_queue_depth {args.max_queue_depth}:")
+        t_off, wall, acc, rej, hw = run_overload(
+            svc2, lengths, cfg.in_features, args.flooders, n)
+        st = svc2.stats()
+        print(f"  offered {n / t_off:>8.1f} req/s over {t_off:.2f}s; "
+              f"accepted {acc} ({acc / n * 100:.0f}%), rejected {rej}")
+        print(f"  sustained completion {acc / wall:>8.1f} req/s; accepted "
+              f"p50/p95/p99 {st.latency_p50_s * 1e3:.0f}/"
+              f"{st.latency_p95_s * 1e3:.0f}/{st.latency_p99_s * 1e3:.0f} ms")
+        print(f"  admitted-depth high-water {hw} (bound "
+              f"{args.max_queue_depth}); failed {st.failed}")
+        # post-flood health: the service must still serve normally
+        r = svc2.summarize(np.zeros((lengths[0], cfg.in_features),
+                                    np.float32), want_summary=False)
+        print(f"  post-flood health check: scored {r.scores.shape[0]} rows "
+              f"in {r.latency_s * 1e3:.0f} ms", flush=True)
+        svc2.close()
 
 
 if __name__ == "__main__":

@@ -79,3 +79,42 @@ def test_user_summaries_budget():
     assert summ.shape == (3, 100)
     assert (summ.sum(1) <= 15).all()           # 15% of 100
     assert summ.any()                          # 10-frame shots fit the budget
+
+
+def test_packaging_tar_roundtrip(video_dir, tmp_path):
+    """--tar writes the reference's packaging artifact (VERDICT r3 #7,
+    make_dataset.py:109-130): an `annotations` pickle with the namedtuple
+    fields + n_steps/picks/change_points, readable back, consistent with
+    the h5 the data layer consumes."""
+    import pickle
+    import tarfile
+
+    import h5py
+
+    out_h5 = str(tmp_path / "summarizer_dataset_tvsum_google_pool5.h5")
+    tar_path = str(tmp_path / "package.tar.gz")
+    n = build_dataset(video_dir, out_h5, annotations=make_annotations(),
+                      fps=2, seg_mode="kts", tar_path=tar_path)
+    assert n == 2
+    with tarfile.open(tar_path, "r:gz") as tar:
+        names = tar.getnames()
+        assert "annotations" in names
+        # relative arcnames only (the reference's absolute /tmp members are
+        # a documented divergence)
+        assert all(not m.startswith("/") for m in names)
+        with tar.extractfile("annotations") as f:
+            annos = pickle.load(f)
+    assert set(annos) == {"vid0", "vid1"}
+    with h5py.File(out_h5) as f:
+        for i, name in enumerate(["vid0", "vid1"]):
+            rec = annos[name]
+            g = f[f"video_{i}"]
+            assert rec["n_steps"] == int(np.asarray(g["n_steps"]))
+            assert rec["n_frame"] == int(np.asarray(g["n_frames"]))
+            np.testing.assert_array_equal(rec["picks"], np.asarray(g["picks"]))
+            np.testing.assert_array_equal(rec["change_points"],
+                                          np.asarray(g["change_points"]))
+            assert rec["video_id"] == name
+            assert rec["user_anno"].shape[0] == 4
+            assert rec["gt_score"].shape == (90,)
+            assert "title" in rec and "category" in rec

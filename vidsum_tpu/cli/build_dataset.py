@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_rep_dir", default=None,
                    help="also write R3D-18 video embeddings here "
                         "(enables pretraining data)")
+    p.add_argument("--tar", default=None,
+                   help="also write the reference's packaging artifact "
+                        "(annotations pickle + features/video/*.npy in a "
+                        ".tar.gz — make_dataset.py:109-130)")
     return p
 
 
@@ -55,7 +59,7 @@ def main(argv=None) -> None:
         seg_mode=args.seg, google_weights=args.google_weights,
         r3d_weights=args.r3d_weights,
         with_video_rep=args.video_rep_dir is not None,
-        video_rep_dir=args.video_rep_dir)
+        video_rep_dir=args.video_rep_dir, tar_path=args.tar)
     logging.info("wrote %d videos to %s", n, args.out)
 
 

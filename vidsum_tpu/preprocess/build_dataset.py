@@ -18,9 +18,12 @@ via the same 15%-knapsack machinery used at eval time.
 from __future__ import annotations
 
 import glob
+import io
 import logging
 import os
-from typing import Dict, Optional
+import pickle
+import tarfile
+from typing import Dict, List, Optional, Tuple
 
 import h5py
 import numpy as np
@@ -120,16 +123,76 @@ def entry_from_features(features: np.ndarray, video_rep,
     return entry
 
 
+def write_packaging_tar(tar_path: str,
+                        packaging: Dict[str, Dict],
+                        video_reps: List[Tuple[str, np.ndarray]]) -> None:
+    """The reference's dataset *packaging* artifact (optional — VERDICT r3
+    #7): a ``.tar.gz`` holding an ``annotations`` pickle (one dict per
+    video: the annotation fields plus ``n_steps`` / ``picks`` /
+    ``change_points``, ``make_dataset.py:100-113``) and the R3D-18 clip
+    embeddings under ``features/video/<name>.npy``
+    (``make_dataset.py:146-174``).
+
+    Deliberate divergences from ``make_dataset.py:109-130`` (PARITY.md
+    "packaging path"): members use RELATIVE arcnames (``make_tar:118-128``
+    walks a ``tempfile.mkdtemp()`` and adds files under their absolute
+    ``/tmp/...`` paths — unusable members, and nothing in the reference
+    ever reads the tar back); the archive is written in-memory from the
+    build loop instead of via a temp-dir + ``shutil.rmtree`` dance; and
+    the annotations pickle is included for BOTH datasets (the reference's
+    TVSum variant has the pickling commented out and is crash-prone:
+    import-time execution, hardcoded home path, SumMe reader on TVSum
+    data, ``make_dataset.py:46,189``)."""
+    os.makedirs(os.path.dirname(tar_path) or ".", exist_ok=True)
+
+    def add_bytes(tar, name, payload: bytes):
+        info = tarfile.TarInfo(name)
+        info.size = len(payload)
+        tar.addfile(info, io.BytesIO(payload))
+
+    with tarfile.open(tar_path, "w:gz") as tar:
+        add_bytes(tar, "annotations", pickle.dumps(packaging))
+        for name, rep in video_reps:
+            buf = io.BytesIO()
+            np.save(buf, rep)
+            add_bytes(tar, f"features/video/{name}.npy", buf.getvalue())
+
+
+def _packaging_record(entry: Dict,
+                      annotation: Optional[VideoAnnotation]) -> Dict:
+    """One video's ``annotations``-pickle dict: the reference's namedtuple
+    ``_asdict()`` fields (``get_annotation.py:19,81``) plus the three
+    extras ``make_dataset.py:104-106`` adds."""
+    rec: Dict = {
+        "n_steps": int(entry["n_steps"]),
+        "picks": entry["picks"],
+        "change_points": entry["change_points"],
+        "n_frame": int(entry["n_frames"]),
+    }
+    if annotation is not None:
+        rec.update(
+            gt_score=annotation.gt_score,
+            title=annotation.title,
+            user_anno=annotation.user_anno,
+            video_id=annotation.video_id,
+            category=annotation.category,
+        )
+    return rec
+
+
 def build_dataset(video_dir: str, out_h5: str,
                   annotations: Optional[Dict[str, VideoAnnotation]] = None,
                   fps: int = 2, seg_mode: str = "kts",
                   google_weights: Optional[str] = None,
                   r3d_weights: Optional[str] = None,
                   with_video_rep: bool = False,
-                  video_rep_dir: Optional[str] = None) -> int:
+                  video_rep_dir: Optional[str] = None,
+                  tar_path: Optional[str] = None) -> int:
     """Build a DSNet-schema h5 from a directory of videos. Returns the number
     of videos written; keys are ``video_0 … video_{n-1}`` in sorted filename
-    order, with the source name recorded in ``video_name``."""
+    order, with the source name recorded in ``video_name``. ``tar_path``
+    additionally writes the reference's packaging artifact
+    (:func:`write_packaging_tar`)."""
     google = FeatureExtractor("google", weights=google_weights)
     r3d = (FeatureExtractor("r3d18", weights=r3d_weights)
            if with_video_rep else None)
@@ -141,6 +204,8 @@ def build_dataset(video_dir: str, out_h5: str,
         os.makedirs(video_rep_dir, exist_ok=True)
 
     written = 0
+    packaging: Dict[str, Dict] = {}
+    video_reps: List[Tuple[str, np.ndarray]] = []
     with h5py.File(out_h5, "w") as f:
         for i, path in enumerate(paths):
             name = os.path.basename(path).rsplit(".", 1)[0]
@@ -181,7 +246,14 @@ def build_dataset(video_dir: str, out_h5: str,
             if r3d is not None and video_rep_dir:
                 np.save(os.path.join(video_rep_dir, f"{key}.npy"),
                         entry["video_rep"])
+            if tar_path:
+                packaging[name] = _packaging_record(entry, anno)
+                if "video_rep" in entry:
+                    video_reps.append((name, entry["video_rep"]))
             written += 1
             logger.info("wrote %s (%s): %d picks / %d frames", key, name,
                         len(picks), n_frames)
+    if tar_path:
+        write_packaging_tar(tar_path, packaging, video_reps)
+        logger.info("wrote packaging tar %s (%d videos)", tar_path, written)
     return written
