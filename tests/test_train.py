@@ -87,6 +87,9 @@ def test_finetune_micro_train(data_root, tmp_path):
         "train_keys": [f"x.h5/video_{i}" for i in range(4)],
         "test_keys": ["x.h5/video_4", "x.h5/video_5"],
     }]
+    # nonexistent nested workdir: the driver must create it (regression —
+    # round 4 verify drive crashed on the first summary.json write)
+    tmp_path = tmp_path / "nested" / "run"
     result = finetune(cfg, splits, workdir=str(tmp_path))
     assert 0.0 <= result.fscore <= 100.0
     assert len(result.per_split) == 1
@@ -132,6 +135,7 @@ def test_pretrain_micro_train(tmp_path):
                                 warmup_epochs=1, scheduler_samples=12),
     )
     dataset = PreTrainDataset(root)
+    tmp_path = tmp_path / "wd"  # nonexistent: pretrain() must create it
     out = pretrain(cfg, dataset, workdir=str(tmp_path))
     assert len(out["history"]) == 2
     assert np.isfinite(out["history"]).all()

@@ -172,6 +172,8 @@ def finetune(cfg: Config, splits: Sequence[Dict[str, List[str]]],
     # runs this same loop on the same data order; only the coordinator
     # writes files, and batches enter the mesh via per-process shards
     coord = is_coordinator()
+    if coord and workdir:
+        os.makedirs(workdir, exist_ok=True)
     put = None
     if mesh is not None and jax.process_count() > 1:
         from vidsum_tpu.parallel.distributed import put_batch as _put_batch

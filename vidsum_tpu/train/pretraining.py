@@ -53,6 +53,8 @@ def pretrain(cfg: Config, dataset, workdir: str = ".",
     # on every process; coordinator-only file writes; per-process batch
     # shards onto the mesh
     coord = is_coordinator()
+    if coord and workdir:
+        os.makedirs(workdir, exist_ok=True)
     put = None
     if mesh is not None and jax.process_count() > 1:
         from vidsum_tpu.parallel.distributed import put_batch as _put_batch
