@@ -20,6 +20,13 @@ bounded ``max_queue_depth``; reports offered rate, accepted/rejected
 split, sustained completion throughput, accepted-request latency
 quantiles, the admitted-depth high-water mark (the device-memory bound
 actually enforced), and a post-flood health check.
+
+``--endurance S`` adds a sustained-load phase: closed-loop clients run for
+S seconds against one service instance, sampled in fixed windows
+(throughput, window latency quantiles, host RSS). The drift between the
+first and last windows is the leak/stability evidence — a service that
+accumulates host or device state shows up as monotone RSS growth or
+latency creep long before it OOMs.
 """
 
 from __future__ import annotations
@@ -131,6 +138,74 @@ def run_overload(svc, lengths, d, flooders: int, requests: int):
     return t_offered, wall, len(futs), rejected[0], high_water[0]
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def run_endurance(svc, lengths, d, concurrency: int, seconds: float,
+                  window_s: float = 30.0):
+    """Closed-loop load for ``seconds``; returns one dict per window.
+
+    Clients cycle a small fixed video pool (constant client-side memory),
+    so any RSS growth is the service's own. Window quantiles come from
+    ``reset_stats()`` at each window edge."""
+    rng = np.random.default_rng(2)
+    pool = [rng.normal(size=(int(n), d)).astype(np.float32)
+            for n in lengths for _ in range(4)]
+    stop = threading.Event()
+    done = [0]
+    lock = threading.Lock()
+    errors = []
+
+    def client(k):
+        i = k
+        while not stop.is_set():
+            try:
+                svc.submit(pool[i % len(pool)],
+                           want_summary=False).result(timeout=600)
+            except Exception as e:  # noqa: BLE001 — record and stop
+                errors.append(e)
+                return
+            i += concurrency
+            with lock:
+                done[0] += 1
+
+    threads = [threading.Thread(target=client, args=(k,))
+               for k in range(concurrency)]
+    svc.reset_stats()
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    windows = []
+    prev_done, prev_t = 0, t0
+    while time.monotonic() - t0 < seconds and not errors:
+        time.sleep(min(window_s, max(0.0, seconds - (time.monotonic() - t0))))
+        now = time.monotonic()
+        st = svc.stats()
+        with lock:
+            d_now = done[0]
+        windows.append({
+            "t_s": round(now - t0, 1),
+            "req_s": round((d_now - prev_done) / (now - prev_t), 1),
+            "p50_ms": round(st.latency_p50_s * 1e3, 1),
+            "p95_ms": round(st.latency_p95_s * 1e3, 1),
+            "rss_mb": round(_rss_mb(), 1),
+            "inflight": svc._inflight,
+        })
+        svc.reset_stats()
+        prev_done, prev_t = d_now, now
+    stop.set()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return windows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=64)
@@ -143,6 +218,10 @@ def main() -> None:
                          "served work")
     ap.add_argument("--overload", action="store_true",
                     help="add the open-loop saturation phase")
+    ap.add_argument("--endurance", type=float, default=0.0, metavar="S",
+                    help="add a sustained-load phase of S seconds "
+                         "(windowed throughput/latency/RSS drift)")
+    ap.add_argument("--endurance_conc", type=int, default=8)
     ap.add_argument("--max_queue_depth", type=int, default=64,
                     help="admission bound for the overload phase")
     ap.add_argument("--flooders", type=int, default=16)
@@ -215,6 +294,33 @@ def main() -> None:
         print(f"  post-flood health check: scored {r.scores.shape[0]} rows "
               f"in {r.latency_s * 1e3:.0f} ms", flush=True)
         svc2.close()
+
+    if args.endurance > 0:
+        svc3 = ScoringService(params, cfg, max_batch=args.max_batch,
+                              max_delay_ms=args.max_delay_ms,
+                              selection_workers=2, max_queue_depth=256)
+        svc3.warmup(lengths=sorted({*lengths}))
+        print(f"\nendurance: {args.endurance:.0f}s sustained closed-loop, "
+              f"conc {args.endurance_conc}:")
+        print(f"{'t (s)':>7} {'req/s':>8} {'p50 ms':>8} {'p95 ms':>8} "
+              f"{'RSS MB':>8} {'depth':>6}")
+        windows = run_endurance(svc3, lengths, cfg.in_features,
+                                args.endurance_conc, args.endurance)
+        for w in windows:
+            print(f"{w['t_s']:>7} {w['req_s']:>8} {w['p50_ms']:>8} "
+                  f"{w['p95_ms']:>8} {w['rss_mb']:>8} {w['inflight']:>6}",
+                  flush=True)
+        first, last = windows[0], windows[-1]
+        import json
+        print(json.dumps({
+            "metric": "serving_endurance",
+            "seconds": args.endurance,
+            "windows": len(windows),
+            "rss_growth_mb": round(last["rss_mb"] - first["rss_mb"], 1),
+            "req_s_first": first["req_s"], "req_s_last": last["req_s"],
+            "p50_first_ms": first["p50_ms"], "p50_last_ms": last["p50_ms"],
+        }), flush=True)
+        svc3.close()
 
 
 if __name__ == "__main__":
