@@ -52,6 +52,42 @@ def probe_relay_ms(reps: int = 5) -> float:
     return (time.monotonic() - t0) / reps * 1e3
 
 
+def probe_wire_mb_s(reps: int = 4, mb: float = 4.0) -> float:
+    """Host->device throughput of the relay, MB/s.
+
+    The latency probe above cannot see BANDWIDTH windows: serving is
+    wire-bound on input features, and the relay's MB/s degrades by
+    hours-long windows independently of its ~30 ms RPC latency (observed
+    2026-08-19: probe 32 ms both times, closed-loop serving 36 -> 23
+    req/s). Reported next to every serving number so slow-bandwidth
+    windows are machine-visible; cross-window comparisons are only
+    defensible at similar MB/s.
+
+    Measures ``device_put`` of a host buffer followed by a 1-element
+    fetch (the fetch pins the transfer's completion; its ~30 ms and the
+    put's host-side cost are subtracted via a zero-byte calibration
+    round using the same dispatch shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(mb * 1e6 / 2)  # bf16 elements
+    buf = np.zeros((n,), np.float32).astype(jnp.bfloat16)
+    tiny = np.zeros((1,), np.float32).astype(jnp.bfloat16)
+    touch = jax.jit(lambda x: x.reshape(-1)[:1].astype(np.float32))
+
+    def once(host_buf):
+        t0 = time.monotonic()
+        dev = jax.device_put(host_buf)
+        float(touch(dev)[0])
+        return time.monotonic() - t0
+
+    once(buf)  # compile both shapes + warm the path
+    once(tiny)
+    big = min(once(buf) for _ in range(reps))
+    base = min(once(tiny) for _ in range(reps))
+    return mb / max(big - base, 1e-6)
+
+
 def run_level(svc, lengths, d, concurrency: int, requests: int,
               want_summary: bool):
     rng = np.random.default_rng(0)
@@ -226,6 +262,18 @@ def main() -> None:
                     help="admission bound for the overload phase")
     ap.add_argument("--flooders", type=int, default=16)
     ap.add_argument("--d_model", type=int, default=256)
+    ap.add_argument("--wire", default="auto",
+                    help="wire_dtype for the main service (auto/float32/"
+                         "bfloat16/int8)")
+    ap.add_argument("--ab_int8", action="store_true",
+                    help="after the main levels, rerun them against an "
+                         "int8-wire service IN THE SAME PROCESS (the only "
+                         "defensible A/B under relay bandwidth windows)")
+    ap.add_argument("--ab_matrix", action="store_true",
+                    help="run the full transport matrix in one process: "
+                         "{rows,coalesced} x {auto,int8}")
+    ap.add_argument("--wire_mode", default="rows",
+                    choices=["rows", "coalesced"])
     ap.add_argument("--compute", default="bfloat16",
                     help="compute_dtype (production scoring is bfloat16; "
                          "wire_dtype='auto' then ships bf16 — bit-identical, "
@@ -241,33 +289,54 @@ def main() -> None:
     from vidsum_tpu.serve import ScoringService
 
     print(f"backend: {jax.default_backend()}  "
-          f"relay probe: {probe_relay_ms():.1f} ms/fetch", flush=True)
+          f"relay probe: {probe_relay_ms():.1f} ms/fetch  "
+          f"wire: {probe_wire_mb_s():.1f} MB/s", flush=True)
     cfg = ModelConfig(d_model=args.d_model, compute_dtype=args.compute)
     params = init_simnet(jax.random.PRNGKey(0), cfg)
     lengths = [int(s) for s in args.lengths.split(",")]
+    def run_levels(svc):
+        mode = "score+select" if args.summary else "score-only"
+        wm = "coalesced" if svc._wire_coalesced else "rows"
+        print(f"\n{mode}, wire {svc._wire_dtype}/{wm}, lengths {lengths}, "
+              f"{args.requests} requests, max_batch {args.max_batch}:")
+        print(f"{'conc':>5} {'req/s':>8} {'frames/s':>10} {'p50 ms':>8} "
+              f"{'p95 ms':>8} {'p99 ms':>8} {'batches':>8} {'pad rows':>8}")
+        for conc in [int(s) for s in args.concurrency.split(",")]:
+            svc.reset_stats()
+            wall, frames = run_level(svc, lengths, cfg.in_features, conc,
+                                     args.requests, args.summary)
+            st = svc.stats()
+            print(f"{conc:>5} {args.requests / wall:>8.1f} "
+                  f"{frames / wall:>10.0f} {st.latency_p50_s * 1e3:>8.1f} "
+                  f"{st.latency_p95_s * 1e3:>8.1f} "
+                  f"{st.latency_p99_s * 1e3:>8.1f} {st.batches:>8} "
+                  f"{st.rows_padded:>8}", flush=True)
+
     svc = ScoringService(params, cfg, max_batch=args.max_batch,
                          max_delay_ms=args.max_delay_ms,
-                         selection_workers=2)
+                         selection_workers=2, wire_dtype=args.wire,
+                         wire_mode=args.wire_mode)
     print(f"compute {cfg.compute_dtype}, wire {svc._wire_dtype}", flush=True)
     print("warmup (compiling the program grid)...", flush=True)
     svc.warmup(lengths=sorted({*lengths}))
-
-    mode = "score+select" if args.summary else "score-only"
-    print(f"\n{mode}, lengths {lengths}, {args.requests} requests, "
-          f"max_batch {args.max_batch}:")
-    print(f"{'conc':>5} {'req/s':>8} {'frames/s':>10} {'p50 ms':>8} "
-          f"{'p95 ms':>8} {'p99 ms':>8} {'batches':>8} {'pad rows':>8}")
-    for conc in [int(s) for s in args.concurrency.split(",")]:
-        svc.reset_stats()
-        wall, frames = run_level(svc, lengths, cfg.in_features, conc,
-                                 args.requests, args.summary)
-        st = svc.stats()
-        print(f"{conc:>5} {args.requests / wall:>8.1f} "
-              f"{frames / wall:>10.0f} {st.latency_p50_s * 1e3:>8.1f} "
-              f"{st.latency_p95_s * 1e3:>8.1f} "
-              f"{st.latency_p99_s * 1e3:>8.1f} {st.batches:>8} "
-              f"{st.rows_padded:>8}", flush=True)
+    run_levels(svc)
     svc.close()
+
+    variants = []
+    if args.ab_int8:
+        variants.append(("int8", args.wire_mode))
+    if args.ab_matrix:
+        variants = [(d, m) for m in ("rows", "coalesced")
+                    for d in ("auto", "int8")
+                    if not (d == args.wire and m == args.wire_mode)]
+    for dtype, wmode in variants:
+        svc_v = ScoringService(params, cfg, max_batch=args.max_batch,
+                               max_delay_ms=args.max_delay_ms,
+                               selection_workers=2, wire_dtype=dtype,
+                               wire_mode=wmode)
+        svc_v.warmup(lengths=sorted({*lengths}))
+        run_levels(svc_v)
+        svc_v.close()
 
     if args.overload:
         svc2 = ScoringService(params, cfg, max_batch=args.max_batch,

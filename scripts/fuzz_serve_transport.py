@@ -103,11 +103,15 @@ class _Oracle:
                                     jnp.asarray(mask)))[0, :n]
 
 
-def _check(req, res, oracle, mism, ring: bool):
+def _check(req, res, oracle, mism, ring: bool, lossy: bool = False):
     want_scores = oracle.scores(req["feats"])
     if ring:
         if not np.allclose(res.scores, want_scores, rtol=2e-4, atol=2e-4):
             mism["ring_scores"] += 1
+    elif lossy:
+        # int8 wire: input quantization error only (PERF.md "int8 wire")
+        if np.max(np.abs(res.scores - want_scores)) >= 2e-2:
+            mism["int8_scores"] += 1
     elif not np.array_equal(res.scores, want_scores):
         mism["scores"] += 1
     if req["want_summary"]:
@@ -144,19 +148,29 @@ def main():
         "mesh": ScoringService(params, CFG, mesh=mesh, max_batch=16,
                                max_delay_ms=2.0,
                                long_threshold=LONG_THRESHOLD),
+        # round-4 transports: coalesced is bit-parity (same programs as
+        # rows mode); int8 is lossy-by-design (tolerance check)
+        "coalesced": ScoringService(params, CFG, max_batch=8,
+                                    max_delay_ms=2.0,
+                                    wire_mode="coalesced"),
+        "int8": ScoringService(params, CFG, max_batch=8, max_delay_ms=2.0,
+                               wire_dtype="int8"),
     }
     # short routes bucket at 128; the mesh ring buckets at 128*8
     oracle_short = _Oracle(params, lambda n: 128)
     oracle_ring = _Oracle(params, lambda n: RING_GRANULE)
 
-    mism = {"scores": 0, "ring_scores": 0, "summary": 0, "errors": 0}
-    checked = {"plain": 0, "tight": 0, "mesh": 0, "ring": 0}
+    mism = {"scores": 0, "ring_scores": 0, "int8_scores": 0, "summary": 0,
+            "errors": 0}
+    checked = {"plain": 0, "tight": 0, "mesh": 0, "ring": 0,
+               "coalesced": 0, "int8": 0}
 
     done = 0
     while done < args.n:
         burst = int(rng.integers(1, 33))
         burst = min(burst, args.n - done)
-        name = ("plain", "tight", "mesh")[int(rng.integers(0, 3))]
+        name = ("plain", "tight", "mesh",
+                "coalesced", "int8")[int(rng.integers(0, 5))]
         svc = services[name]
         reqs, futs = [], []
         for _ in range(burst):
@@ -179,7 +193,8 @@ def main():
                 continue
             ring = (name == "mesh"
                     and r["feats"].shape[0] > LONG_THRESHOLD)
-            _check(r, res, oracle_ring if ring else oracle_short, mism, ring)
+            _check(r, res, oracle_ring if ring else oracle_short, mism,
+                   ring, lossy=(name == "int8"))
             checked[name] += 1
             checked["ring"] += int(ring)
         done += burst

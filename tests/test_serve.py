@@ -669,3 +669,79 @@ def test_long_route_never_head_of_line_blocks(params):
     # and the slow-fetched long still scored correctly
     assert r_long.scores.shape == (1500,)
     assert np.all((r_long.scores > 0) & (r_long.scores < 1))
+
+
+def test_int8_wire_scores_close_and_ranking_stable(params):
+    """Opt-in lossy wire: per-frame int8 quantization of the input features
+    must perturb scores only at the input-quantization-error scale and keep
+    the score ranking (what selection consumes) essentially intact."""
+    rng = np.random.default_rng(3)
+    videos = [_video(rng, n) for n in (37, 128, 250, 300)]
+    with ScoringService(params, CFG, max_batch=8, max_delay_ms=200.0,
+                        wire_dtype="int8") as svc:
+        assert svc._wire_dtype == np.dtype(np.int8)
+        futs = [svc.submit(v, want_summary=False) for v in videos]
+        res = [f.result(timeout=120) for f in futs]
+        st = svc.stats()
+    assert st.completed == len(videos) and st.failed == 0
+    for v, r in zip(videos, res):
+        exact = _solo_scores(params, v)
+        delta = np.max(np.abs(r.scores - exact))
+        assert delta < 2e-2, delta
+        # ranking stability: top-25% frame sets overlap
+        k = max(1, v.shape[0] // 4)
+        top_q = set(np.argsort(r.scores)[-k:].tolist())
+        top_e = set(np.argsort(exact)[-k:].tolist())
+        assert len(top_q & top_e) / k >= 0.9
+
+
+def test_int8_wire_summary_roundtrip(params):
+    """End-to-end summary on the int8 wire: the composition (KTS +
+    knapsack + selection) must run and return a valid binary summary of
+    the right length and budget."""
+    rng = np.random.default_rng(4)
+    feats = _video(rng, 200)
+    with ScoringService(params, CFG, max_batch=4, max_delay_ms=50.0,
+                        wire_dtype="int8") as svc:
+        r = svc.submit(feats, budget_ratio=0.15).result(timeout=300)
+    assert r.summary is not None and r.summary.shape == (200,)
+    assert set(np.unique(r.summary)).issubset({0, 1})
+    assert 0 < r.summary.sum() <= int(0.15 * 200) + 1
+
+
+def test_int8_wire_rejects_mesh(params):
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >1 device")
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(devs[:2]), ("data",))
+    with pytest.raises(ValueError, match="int8.*single-chip"):
+        ScoringService(params, CFG, mesh=mesh, wire_dtype="int8")
+
+
+@pytest.mark.parametrize("dtype", ["auto", "int8"])
+def test_coalesced_wire_matches_rows_bitwise(params, dtype):
+    """The coalesced transport feeds the same compiled programs as the
+    rows transport, so scores must be bit-identical across modes (for
+    both the lossless and the int8 wire)."""
+    rng = np.random.default_rng(5)
+    videos = [_video(rng, n) for n in (37, 100, 250, 300)]
+    res = {}
+    for mode in ("rows", "coalesced"):
+        with ScoringService(params, CFG, max_batch=8, max_delay_ms=200.0,
+                            wire_dtype=dtype, wire_mode=mode) as svc:
+            futs = [svc.submit(v, want_summary=False) for v in videos]
+            res[mode] = [f.result(timeout=300).scores for f in futs]
+            assert svc.stats().failed == 0
+    for a, b in zip(res["rows"], res["coalesced"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_coalesced_rejects_mesh(params):
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >1 device")
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(devs[:2]), ("data",))
+    with pytest.raises(ValueError, match="coalesced.*single-chip"):
+        ScoringService(params, CFG, mesh=mesh, wire_mode="coalesced")

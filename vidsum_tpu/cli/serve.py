@@ -57,6 +57,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: the kernel-envelope caps only)")
     p.add_argument("--max_body_bytes", type=int, default=256 * 1024 * 1024,
                    help="HTTP payload cap (413 past it)")
+    p.add_argument("--wire_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16", "int8"],
+                   help="host->device feature wire. 'auto' (lossless) "
+                        "matches compute_dtype; 'int8' (LOSSY, single-chip) "
+                        "halves the bytes again via per-frame quantization "
+                        "for wire-bound topologies")
+    p.add_argument("--wire_mode", default="rows",
+                   choices=["rows", "coalesced"],
+                   help="'rows': async per-request transfers (best when "
+                        "wire cost ~ bytes); 'coalesced': one stacked "
+                        "transfer per micro-batch (best on high-latency "
+                        "relay links; single-chip only). Scores are "
+                        "bit-identical either way")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -104,6 +117,8 @@ def main(argv=None) -> None:
                              budget_ratio=args.budget,
                              max_queue_depth=args.max_queue_depth,
                              max_request_len=args.max_request_len,
+                             wire_dtype=args.wire_dtype,
+                             wire_mode=args.wire_mode,
                              mesh=mesh, long_threshold=args.long_threshold)
     if args.warmup:
         lengths = [int(s) for s in args.warmup.split(",") if s]

@@ -23,9 +23,11 @@ two the TPU way:
   feature row ships host→device *asynchronously at submit time*, so
   transfers overlap earlier batches' compute; batches are assembled on
   device (``jnp.stack`` of the already-resident rows), so batch-dim padding
-  costs zero wire bytes; and ``wire_dtype="auto"`` ships bfloat16 whenever
+  costs zero wire bytes; ``wire_dtype="auto"`` ships bfloat16 whenever
   the model computes in bfloat16 — bit-identical scores (``simnet_apply``
-  casts inputs to ``compute_dtype`` in-model) for half the bytes;
+  casts inputs to ``compute_dtype`` in-model) for half the bytes; and
+  ``wire_dtype="int8"`` (opt-in, LOSSY) halves them again via per-frame
+  symmetric quantization dequantized on device (PERF.md "int8 wire");
 - shot selection (KTS + knapsack, the bit-parity host pipeline of
   ``ops/{kts,summary,knapsack}``) runs on a worker pool, so the dispatcher
   is back on the accelerator while the CPU picks shots.
@@ -228,7 +230,20 @@ class ScoringService:
         ``"auto"`` (default) matches ``cfg.compute_dtype`` — bit-identical
         scores, since the model casts its input to that dtype anyway
         (models/simnet.py), and half the relay bytes when computing in
-        bfloat16. ``"float32"`` forces full-precision wire.
+        bfloat16. ``"float32"`` forces full-precision wire. ``"int8"``
+        (opt-in, LOSSY, single-chip only) quantizes each frame row
+        symmetrically to int8 with an f32 per-frame scale dequantized
+        on device — half the bytes of bf16 again, for wire-bound
+        topologies where score deltas of ~1e-2 (and the rare selection
+        flip they imply) are acceptable.
+    :param wire_mode: ``"rows"`` (default) ships each request's padded row
+        asynchronously at submit time — batch assembly on device, zero
+        wire bytes for batch-dim padding; best when wire cost ~ bytes.
+        ``"coalesced"`` (single-chip only) keeps rows host-side and ships
+        one stacked array per micro-batch — pays batch-pad bytes but one
+        fixed per-transfer RPC cost per BATCH instead of per request;
+        best on high-latency relay links. Scores are bit-identical across
+        modes (same compiled programs).
     :param mesh: optional ``jax.sharding.Mesh`` — serve over ALL its
         devices: short requests batch replica-parallel across them, long
         requests run the sequence-parallel ring (module docstring). Axis
@@ -258,6 +273,7 @@ class ScoringService:
                  budget_ratio: float = 0.15,
                  selection_workers: int = 2,
                  wire_dtype: str = "auto",
+                 wire_mode: str = "rows",
                  latency_window: int = 4096,
                  max_queue_depth: int = 256,
                  max_request_len: Optional[int] = None,
@@ -326,9 +342,50 @@ class ScoringService:
                 if long_threshold is None:
                     long_threshold = _single_chip_max_len(cfg, bucket)
                 self._long_threshold = int(long_threshold)
-        self._wire_dtype = np.dtype(
-            jnp.dtype(cfg.compute_dtype if wire_dtype == "auto"
-                      else wire_dtype))
+        # --- wire mode: "rows" ships each request's padded row at submit
+        # time (async; batch assembles on device, batch-dim padding costs
+        # zero wire bytes — best when the wire cost is ~bytes, e.g. a
+        # co-located DMA host). "coalesced" keeps rows host-side and ships
+        # ONE stacked array per micro-batch — best when each transfer pays
+        # a large fixed RPC cost (the axon relay: ~39 ms/transfer measured
+        # vs 99 MB/s streaming, PERF.md "Serving transport, revisited").
+        # Both modes feed the SAME compiled programs, so scores are
+        # bit-identical across modes (pinned by tests).
+        if wire_mode not in ("rows", "coalesced"):
+            raise ValueError(f"wire_mode must be 'rows' or 'coalesced', "
+                             f"got {wire_mode!r}")
+        self._wire_coalesced = (wire_mode == "coalesced")
+        if self._wire_coalesced and self._mesh_devices is not None:
+            raise ValueError(
+                "wire_mode='coalesced' is single-chip only (the mesh "
+                "transports commit rows to their replica / seq shards at "
+                "submit time); use wire_mode='rows'")
+        # --- int8 wire (opt-in, lossy): per-frame symmetric quantization
+        # halves the host->device bytes again vs bf16. On relay-attached
+        # topologies serving is wire-bound (PERF.md "Serving"), so fewer
+        # bytes IS the throughput lever; scores shift by the input
+        # quantization error (~1e-2 class), so selections are no longer
+        # bit-pinned — production default stays "auto" (lossless).
+        self._wire_int8 = (wire_dtype == "int8")
+        if self._wire_int8:
+            if self._mesh_devices is not None:
+                raise ValueError(
+                    "wire_dtype='int8' is single-chip only (the replica/"
+                    "ring transports ship raw rows); drop mesh= or use "
+                    "wire_dtype='auto'")
+            self._wire_dtype = np.dtype(np.int8)
+            eval_fwd = self._fwd
+
+            @jax.jit
+            def _fwd_i8(params, x_i8, scales, pad_mask):
+                x = x_i8.astype(jnp.float32) * scales[..., None]
+                return eval_fwd(params, x, pad_mask)
+
+            self._fwd_i8 = _fwd_i8
+        else:
+            self._wire_dtype = np.dtype(
+                jnp.dtype(cfg.compute_dtype if wire_dtype == "auto"
+                          else wire_dtype))
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.bucket = int(bucket)
@@ -485,12 +542,28 @@ class ScoringService:
                           self.pad_value, dtype=self._wire_dtype)
             row[0, :n] = feats.astype(self._wire_dtype)
             row_dev = jax.device_put(row, self._long_sharding)
+        elif self._wire_int8:
+            # per-frame symmetric quantization of the padded f32 row; the
+            # (n_bucket,) f32 scales ride along (+0.4% wire at d=1024)
+            n_bucket = bucket_length(n, self.bucket)
+            row = np.full((n_bucket, self._cfg.in_features), self.pad_value,
+                          dtype=np.float32)
+            row[:n] = feats
+            absmax = np.abs(row).max(axis=1)
+            scale = np.where(absmax > 0.0, absmax / 127.0,
+                             1.0).astype(np.float32)
+            q = np.clip(np.round(row / scale[:, None]), -127,
+                        127).astype(np.int8)
+            row_dev = ((q, scale) if self._wire_coalesced
+                       else (jax.device_put(q), jax.device_put(scale)))
         else:
             n_bucket = bucket_length(n, self.bucket)
             row = np.full((n_bucket, self._cfg.in_features), self.pad_value,
                           dtype=self._wire_dtype)
             row[:n] = feats.astype(self._wire_dtype)
-            if self._mesh_devices is None:
+            if self._wire_coalesced:
+                row_dev = row   # host-side; ships with its batch
+            elif self._mesh_devices is None:
                 row_dev = jax.device_put(row)
             else:
                 # commit rows round-robin over the replicas so the batch
@@ -695,9 +768,24 @@ class ScoringService:
             rows.append(r.row_dev)  # the batch-dim pad costs zero wire bytes
             mask[i, : r.feats.shape[0]] = False
         try:
-            x = jnp.stack(rows)     # on device; transfers began at submit()
-            out = np.asarray(self._fwd(self._params, x, jnp.asarray(mask)),
-                             dtype=np.float32)
+            import jax
+
+            if self._wire_int8:
+                if self._wire_coalesced:    # one transfer for the batch
+                    x = jax.device_put(np.stack([r[0] for r in rows]))
+                    s = jax.device_put(np.stack([r[1] for r in rows]))
+                else:                       # rows resident since submit()
+                    x = jnp.stack([r[0] for r in rows])
+                    s = jnp.stack([r[1] for r in rows])
+                out = np.asarray(self._fwd_i8(self._params, x, s,
+                                              jnp.asarray(mask)),
+                                 dtype=np.float32)
+            else:
+                x = (jax.device_put(np.stack(rows)) if self._wire_coalesced
+                     else jnp.stack(rows))
+                out = np.asarray(self._fwd(self._params, x,
+                                           jnp.asarray(mask)),
+                                 dtype=np.float32)
         except Exception as e:  # noqa: BLE001 — fail every rider, keep serving
             for r in items:
                 self._fail(r, e)
