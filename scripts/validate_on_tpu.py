@@ -221,6 +221,37 @@ def main() -> None:
     check("grouped train kernel dw == per-element on chip", worst_g < 5e-2,
           f"worst rel err {worst_g:.2e}")
 
+    # int8 fused block (W8A8, ops/block_kernel_int8.py): the Mosaic int8
+    # lowering on chip vs the dense int8 reference (same quantizer; bounds
+    # are the quantization noise floor — see tests/test_quant.py on why
+    # bit-equality across separately-compiled programs is not pinnable),
+    # and the whole quantized scorer's closeness to the f32 scorer.
+    from vidsum_tpu.models.simnet import simnet_apply as _apply_i8
+
+    icfg = ModelConfig(d_model=256, num_heads=4, num_layers=4, dropout=0.0,
+                       compute_dtype="bfloat16")
+    ip = init_simnet(jax.random.PRNGKey(11), icfg)
+    for bi, ni in ((8, 128), (4, 512)):  # grouped + per-element kernels
+        xi = jnp.asarray(rng.normal(size=(bi, ni, 1024)), jnp.float32)
+        li = rng.integers(ni // 2, ni + 1, size=bi)
+        mi = jnp.asarray(np.arange(ni)[None] >= li[:, None])
+        s_d, _ = _apply_i8(ip, icfg, xi, mi, deterministic=True,
+                           attn_impl="int8_xla")
+        s_k, _ = _apply_i8(ip, icfg, xi, mi, deterministic=True,
+                           attn_impl="int8_block")
+        s_f, _ = _apply_i8(ip, icfg, xi, mi, deterministic=True,
+                           attn_impl="xla")
+        dk = np.abs(np.asarray(s_k - s_d, np.float32))
+        check(f"int8 kernel == dense int8 ref on chip (B={bi},N={ni})",
+              float(np.median(dk)) < 5e-3 and float(dk.max()) < 5e-2,
+              f"median {float(np.median(dk)):.2e} max {float(dk.max()):.2e}")
+        d8 = np.abs(np.asarray(
+            jax.nn.sigmoid(s_k[..., 0]) - jax.nn.sigmoid(s_f[..., 0]),
+            np.float32))[~np.asarray(mi)]
+        check(f"int8 scorer close to f32 on chip (B={bi},N={ni})",
+              float(np.median(d8)) < 2e-2 and float(d8.max()) < 1.5e-1,
+              f"median {float(np.median(d8)):.2e} max {float(d8.max()):.2e}")
+
     # on-device eval (eval_impl='device'): golden parity + measured latency
     import time as _time
 

@@ -232,8 +232,43 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
     x = x.astype(compute_dtype)
     B, N, _ = x.shape
 
+    use_int8 = attn_impl in ("int8_block", "int8_xla")
+    if use_int8:
+        # opt-in W8A8 quantized scoring (ops/quant.py): inference-only and
+        # LOSSY by design — rounding has no useful gradient, and attention
+        # maps are pinned to the production export path
+        if not deterministic:
+            raise ValueError("int8 scoring path is inference-only; use the "
+                             "bf16 kernels for training")
+        if return_attn:
+            raise ValueError("int8 scoring path does not return attention "
+                             "maps; use attn_impl='xla' for export")
+        if cfg.norm_first:
+            raise ValueError("int8 scoring path implements the reference's "
+                             "post-LN block only")
+        # shape-aware demotion, decided BEFORE the embed so a demoted
+        # forward is fully lossless. Benign direction only: odd lengths
+        # (e.g. the +1 CLS token) fall to the dense int8 path; shapes past
+        # the kernel's VMEM envelope leave the quantized path entirely for
+        # the bf16 flash ladder (long videos exit quantization).
+        n_eff = N + (1 if cfg.use_cls else 0)
+        if attn_impl == "int8_block":
+            from vidsum_tpu.ops.block_kernel_int8 import (
+                fused_block_int8_supported)
+            if n_eff % 128 != 0:
+                attn_impl = "int8_xla"
+            elif not fused_block_int8_supported(B, n_eff, cfg.d_model,
+                                                compute_dtype.itemsize):
+                attn_impl = "pallas"
+                use_int8 = False
+
     # Embedding: Linear 1024→d + PE (reference: simnet.py:186-217)
-    h = _linear(params["embed"], x)
+    if use_int8:
+        from vidsum_tpu.ops.quant import int8_linear, quantize_weight
+        ew, es = quantize_weight(params["embed"]["w"])
+        h = int8_linear(x, ew, es, params["embed"]["b"]).astype(compute_dtype)
+    else:
+        h = _linear(params["embed"], x)
     if cfg.use_pos:
         pe = positional_encoding_table(max(cfg.max_len, pe_len or 0, N),
                                        cfg.d_model)
@@ -253,6 +288,23 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
         if pad_mask is not None:
             pad_mask = jnp.concatenate(
                 [jnp.zeros((B, 1), dtype=bool), pad_mask], axis=1)
+
+    if use_int8:
+        from vidsum_tpu.ops.quant import (int8_encoder_block_xla,
+                                          quantize_block)
+        if attn_impl == "int8_block":
+            from vidsum_tpu.ops.block_kernel_int8 import (
+                fused_encoder_block_int8)
+        for block in params["blocks"]:
+            qb = quantize_block(block)
+            if attn_impl == "int8_block":
+                h = fused_encoder_block_int8(qb, h, pad_mask, cfg.num_heads,
+                                             cfg.attn_scale)
+            else:
+                h = int8_encoder_block_xla(qb, h, pad_mask, cfg.num_heads,
+                                           cfg.attn_scale)
+        scores = _linear(params["head"], h).astype(jnp.float32)
+        return scores, h
 
     if attn_impl == "pallas_block" and (deterministic
                                         or dropout_masks is None):
