@@ -18,6 +18,7 @@ chip (single-client tunnel, quiet CPU). Prints one JSON line; record in
 PERF.md "int8 scoring".
 """
 
+import argparse
 import json
 import sys
 
@@ -33,9 +34,17 @@ from vidsum_tpu.models import init_simnet  # noqa: E402
 from vidsum_tpu.models.simnet import simnet_apply  # noqa: E402
 from vidsum_tpu.utils.chain_timing import time_per_iter  # noqa: E402
 
-CFG = ModelConfig(d_model=256, num_heads=4, num_layers=4, dropout=0.0,
-                  compute_dtype="bfloat16")
-SHAPES = [(32, 512), (8, 128)]   # flagship + smallest ragged bucket
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--d_model", type=int, default=256,
+                 help="flagship is 256; larger probes where the int8 MXU "
+                      "rate dominates the step (PERF.md 'int8 scoring')")
+_ap.add_argument("--shapes", default="32x512,8x128")
+_args = _ap.parse_args()
+
+CFG = ModelConfig(d_model=_args.d_model, num_heads=4, num_layers=4,
+                  dropout=0.0, compute_dtype="bfloat16")
+SHAPES = [tuple(int(v) for v in s.split("x"))
+          for s in _args.shapes.split(",")]
 
 
 def make_case(params, attn_impl, B, N, qk_int8=None):
@@ -64,7 +73,7 @@ def make_case(params, attn_impl, B, N, qk_int8=None):
 
 def main():
     params = init_simnet(jax.random.PRNGKey(0), CFG)
-    out = {"backend": jax.default_backend()}
+    out = {"backend": jax.default_backend(), "d_model": _args.d_model}
     for B, N in SHAPES:
         shape_key = f"B{B}xN{N}"
         res = {}

@@ -13,6 +13,7 @@ Run ALONE on the chip (single-client tunnel, quiet CPU) — results feed
 the decision on an opt-in int8 scoring kernel. Prints one JSON line.
 """
 
+import argparse
 import json
 
 import jax
@@ -24,7 +25,15 @@ import sys
 sys.path.insert(0, "/root/repo")
 from vidsum_tpu.utils.chain_timing import time_per_iter  # noqa: E402
 
-M = N = K = 2048
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--m", type=int, default=2048)
+_ap.add_argument("--n", type=int, default=2048)
+_ap.add_argument("--k", type=int, default=2048)
+_ap.add_argument("--tile", type=int, default=512)
+_ap.add_argument("--k1", type=int, default=32)
+_ap.add_argument("--k2", type=int, default=160)
+_args = _ap.parse_args()
+M, N, K = _args.m, _args.n, _args.k
 FLOPS = 2 * M * N * K
 
 
@@ -99,7 +108,7 @@ def main():
     ]
     for name, mk, a in cases:
         try:
-            best, med = time_per_iter(mk, a, k1=32, k2=160, samples=7)
+            best, med = time_per_iter(mk, a, k1=_args.k1, k2=_args.k2, samples=7)
             out[name] = {"ms": round(best * 1e3, 4),
                          "ms_med": round(med * 1e3, 4),
                          "tops": round(FLOPS / best / 1e12, 1)}

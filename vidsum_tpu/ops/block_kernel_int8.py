@@ -300,14 +300,15 @@ def fused_encoder_block_int8(qblock: Dict[str, Any], x: jnp.ndarray,
 
     ``qblock`` is a :func:`vidsum_tpu.ops.quant.quantize_block` tree;
     x (B, N, d) float; pad_mask (B, N) bool or None; N a multiple of 128.
-    ``qk_int8=False`` keeps the Q·K^T product bf16 (A/B knob — per-head
-    Dh=64 int8 contractions are the one shape the MXU might not pack
-    well; measured on chip before defaulting). Default comes from env
-    ``VIDSUM_TPU_INT8_QK`` (unset/1 = int8), read at trace time.
+    ``qk_int8=True`` also runs the Q·K^T product int8 — measured SLOWER
+    on chip at every probed shape (d=256: 0.73x vs 0.95x; d=512: 1.26x vs
+    1.31x — per-head Dh=64 int8 contractions + per-head re-quantization
+    don't pack; PERF.md "int8 scoring"), so the default keeps QK bf16.
+    Env override ``VIDSUM_TPU_INT8_QK=1``, read at trace time.
     """
     if qk_int8 is None:
         import os
-        qk_int8 = os.environ.get("VIDSUM_TPU_INT8_QK", "1") != "0"
+        qk_int8 = os.environ.get("VIDSUM_TPU_INT8_QK", "0") == "1"
     B, N, d = x.shape
     if not tile_q:
         tile_q = _pick_tile(N)

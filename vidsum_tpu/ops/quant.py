@@ -125,15 +125,21 @@ def _layernorm_f32(x, scale, bias):
 
 
 def int8_encoder_block_xla(qblock: Dict[str, Any], x: jnp.ndarray,
-                           pad_mask, num_heads: int,
-                           scale: float) -> jnp.ndarray:
+                           pad_mask, num_heads: int, scale: float,
+                           qk_int8: bool | None = None) -> jnp.ndarray:
     """Dense XLA realization of the quantized post-LN encoder block.
 
     Numerics reference for the fused kernel (same quantization decisions,
     same reciprocal-multiply softmax normalization, bf16 P·V): the int8
     dots are exact integers, so the two implementations agree to f32
-    round-off of the glue. x (B, N, d) float; returns x.dtype (B, N, d).
+    round-off of the glue. ``qk_int8`` follows the kernel's default
+    (env ``VIDSUM_TPU_INT8_QK``, off unless =1 — QK-int8 measured slower
+    at every probed shape, PERF.md "int8 scoring") so the two paths stay
+    the same arithmetic. x (B, N, d) float; returns x.dtype (B, N, d).
     """
+    if qk_int8 is None:
+        import os
+        qk_int8 = os.environ.get("VIDSUM_TPU_INT8_QK", "0") == "1"
     B, N, d = x.shape
     Dh = d // num_heads
     a, m = qblock["attn"], qblock["mlp"]
@@ -152,11 +158,15 @@ def int8_encoder_block_xla(qblock: Dict[str, Any], x: jnp.ndarray,
     k = lin(xq, sx, a["k"]).reshape(B, N, num_heads, Dh).transpose(0, 2, 1, 3)
     v = lin(xq, sx, a["v"]).reshape(B, N, num_heads, Dh).transpose(0, 2, 1, 3)
 
-    q8, sq = quantize_rows(q)
-    k8, sk = quantize_rows(k)
-    s = jnp.einsum("bhnd,bhmd->bhnm", q8, k8,
-                   preferred_element_type=jnp.int32).astype(jnp.float32)
-    s = s * (sq * jnp.swapaxes(sk, -1, -2)) * scale
+    if qk_int8:
+        q8, sq = quantize_rows(q)
+        k8, sk = quantize_rows(k)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q8, k8,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        s = s * (sq * jnp.swapaxes(sk, -1, -2)) * scale
+    else:
+        s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(cdt), k.astype(cdt),
+                       preferred_element_type=jnp.float32) * scale
     if pad_mask is not None:
         s = jnp.where(pad_mask[:, None, None, :], -jnp.inf, s)
     mx = jnp.max(s, axis=-1, keepdims=True)
