@@ -2,8 +2,9 @@
 
 Sibling of scripts/study_int8_wire_accuracy.py, one level deeper: the
 wire study quantizes only the INPUT features (the serving transport);
-this study runs the whole scorer quantized — every linear matmul and the
-Q·K^T product in int8 with dynamic per-row activation scales
+this study runs the whole scorer quantized — every linear matmul in int8
+with dynamic per-row activation scales (Q·K^T follows the production
+default: bf16, VIDSUM_TPU_INT8_QK to override)
 (``attn_impl='int8_xla'``, the dense arithmetic reference of the fused
 ``int8_block`` kernel — the kernel agrees with it to the quantization
 noise floor, tests/test_quant.py). Same question: over a corpus of
@@ -52,7 +53,6 @@ from vidsum_tpu.train.steps import make_eval_forward  # noqa: E402
 from study_int8_wire_accuracy import (frame_f1, quantize_row,  # noqa: E402
                                       random_video)
 
-CFG = ModelConfig(dropout=0.0)
 PAD_VALUE = 1000.0
 BUCKET = 128
 
@@ -67,7 +67,11 @@ def main():
     ap.add_argument("--int8_wire_too", action="store_true",
                     help="also quantize the input row (compound: int8 wire "
                          "+ int8 compute, the full-stack lossy config)")
+    ap.add_argument("--d_model", type=int, default=256,
+                    help="256 = flagship; 512 = the shape where the int8 "
+                         "kernel wins on chip (PERF.md 'int8 scoring')")
     args = ap.parse_args()
+    CFG = ModelConfig(dropout=0.0, d_model=args.d_model)
 
     fwd32 = make_eval_forward(CFG, attn_impl="xla")
     fwd8 = make_eval_forward(CFG, attn_impl="int8_xla")
@@ -114,7 +118,7 @@ def main():
             score_delta_p99=float(np.quantile(d, 0.99)),
             score_delta_max=float(d.max()),
         )
-    print(json.dumps(dict(config="flagship-1024x256x4L-int8compute",
+    print(json.dumps(dict(config=f"1024x{args.d_model}x4L-int8compute",
                           wire_too=bool(args.int8_wire_too),
                           budget=args.budget, seed=args.seed,
                           param_seeds=args.param_seeds, **out)))

@@ -65,6 +65,33 @@ def test_batched_scores_match_solo_eval_path(params):
         assert np.all((r.scores > 0) & (r.scores < 1))
 
 
+def test_int8_scorer_serves(params):
+    """attn_impl='int8_xla' plumbs through the service: scores match the
+    solo int8 forward (tolerance, not array_equal: the B=1 and batched
+    programs compile separately, and XLA fusion differences can flip a
+    quantization code — tests/test_quant.py explains the noise floor)."""
+    rng = np.random.default_rng(5)
+    lengths = [37, 128, 250]
+    videos = [_video(rng, n) for n in lengths]
+    fwd8 = make_eval_forward(CFG, attn_impl="int8_xla")
+    with ScoringService(params, CFG, attn_impl="int8_xla", max_batch=4,
+                        max_delay_ms=200.0) as svc:
+        futs = [svc.submit(v, want_summary=False) for v in videos]
+        results = [f.result(timeout=120) for f in futs]
+        assert svc.stats().failed == 0
+    for v, r in zip(videos, results):
+        n = v.shape[0]
+        nb = bucket_length(n, 128)
+        x = np.full((1, nb, CFG.in_features), 1000.0, np.float32)
+        mask = np.ones((1, nb), bool)
+        x[0, :n] = v
+        mask[0, :n] = False
+        solo = np.asarray(fwd8(params, jnp.asarray(x),
+                               jnp.asarray(mask)))[0, :n]
+        d = np.abs(r.scores - solo)
+        assert float(np.median(d)) < 5e-3 and float(d.max()) < 5e-2
+
+
 def test_window_actually_batches_same_bucket(params):
     rng = np.random.default_rng(1)
     videos = [_video(rng, 64 + i) for i in range(8)]  # all bucket-128
