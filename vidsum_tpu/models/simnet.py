@@ -246,6 +246,10 @@ def simnet_apply(params: Params, cfg: ModelConfig, x: jnp.ndarray,
         if cfg.norm_first:
             raise ValueError("int8 scoring path implements the reference's "
                              "post-LN block only")
+        if attn_fn is not None:
+            raise ValueError("int8 scoring path does not compose with a "
+                             "caller-supplied attention (ring); use the "
+                             "bf16 ladder for sequence-parallel scoring")
         # shape-aware demotion, decided BEFORE the embed so a demoted
         # forward is fully lossless. Benign direction only: odd lengths
         # (e.g. the +1 CLS token) fall to the dense int8 path; shapes past
