@@ -179,6 +179,25 @@ def test_warmup_resets_stats(params):
         assert st.latency_p50_s == 0.0
 
 
+def test_warmup_respects_admission_bound(params):
+    """warmup() must not trip the service's own max_queue_depth: it caps
+    the concurrent warm submits at the depth bound (a batch wider than the
+    bound can never assemble in production anyway) instead of raising
+    ServiceOverloaded at itself."""
+    with ScoringService(params, CFG, max_batch=8, max_delay_ms=0.0,
+                        max_queue_depth=2) as svc:
+        warmed = svc.warmup(lengths=(128,), batch_sizes=(1, 8))
+        assert [(n, b) for n, b, _ in warmed] == [(128, 1), (128, 2)]
+        st = svc.stats()
+        assert st.rejected == 0
+        # the service still serves normally afterwards
+        rng = np.random.default_rng(23)
+        v = _video(rng, 50)
+        np.testing.assert_array_equal(
+            svc.summarize(v, want_summary=False).scores,
+            _solo_scores(params, v))
+
+
 def test_http_roundtrip(params):
     from vidsum_tpu.serve_http import make_server, run_in_thread
 

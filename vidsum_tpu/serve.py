@@ -608,17 +608,25 @@ class ScoringService:
             while batch_sizes[-1] < self.max_batch:
                 batch_sizes.append(batch_sizes[-1] * 2)
         warmed = []
+        seen = set()
         for n in lengths:
             n_b = bucket_length(int(n), self.bucket)
             for b in batch_sizes:
+                # cap at max_queue_depth too: warmup must not trip its own
+                # admission bound, and a batch wider than the depth bound
+                # can never assemble in production anyway (at most
+                # max_queue_depth requests are ever admitted at once)
+                b_eff = min(b, self.max_batch, self.max_queue_depth)
+                if (n_b, b_eff) in seen:
+                    continue
+                seen.add((n_b, b_eff))
                 t0 = time.monotonic()
                 futs = [self.submit(
                     np.zeros((n_b, self._cfg.in_features), np.float32),
-                    want_summary=False) for _ in range(min(b, self.max_batch))]
+                    want_summary=False) for _ in range(b_eff)]
                 for f in futs:
                     f.result()
-                warmed.append((n_b, min(b, self.max_batch),
-                               time.monotonic() - t0))
+                warmed.append((n_b, b_eff, time.monotonic() - t0))
         # warmup traffic shouldn't pollute the serving stats
         self.reset_stats()
         return warmed
