@@ -48,6 +48,14 @@ def main() -> None:
                         "any value; the per-epoch fetch dominates synthetic "
                         "epochs through the relay)")
     p.add_argument("--out", default=None)
+    p.add_argument("--workdir", default=None,
+                   help="keep checkpoints here instead of a throwaway "
+                        "tempdir (the trained model_mae.ckpt is the input "
+                        "to the int8 accuracy studies)")
+    p.add_argument("--d_model", type=int, default=256,
+                   help="scorer width (256 = flagship; 512 mints the "
+                        "checkpoint for the shape where the fused int8 "
+                        "kernel wins on chip, PERF.md 'int8 scoring')")
     args = p.parse_args()
     logging.basicConfig(format="[%(levelname)s] %(module)s - %(message)s",
                         level=logging.INFO)
@@ -79,7 +87,7 @@ def main() -> None:
         folds.append({"train_keys": train, "test_keys": test})
 
     cfg = Config(
-        model=ModelConfig(d_model=256, num_heads=4, num_layers=4,
+        model=ModelConfig(d_model=args.d_model, num_heads=4, num_layers=4,
                           dropout=0.3, compute_dtype="bfloat16"),
         data=DataConfig(root=root, ex_dataset="tvsum",
                         datasets=("tvsum+summe+ovp+youtube" if args.aug
@@ -89,8 +97,11 @@ def main() -> None:
                           model_save_every=args.model_save_every),
     )
 
-    workdir = tempfile.mkdtemp(prefix="soak_work_")
+    workdir = args.workdir or tempfile.mkdtemp(prefix="soak_work_")
+    os.makedirs(workdir, exist_ok=True)
     out = {
+        "workdir": workdir,
+        "d_model": args.d_model,
         "folds": args.folds,
         "epochs": args.epochs,
         "state_save_every": args.state_save_every,
