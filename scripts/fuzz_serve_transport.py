@@ -10,7 +10,15 @@ asserting the served outputs equal the host oracle:
 - ring route (mesh, past long_threshold): scores match the solo scorer to
   2e-4 (the ring's reduction order differs from dense attention — same
   tolerance as tests/test_serve.py), and the summary bit-equals the host
-  composition of the SERVED scores (selection arithmetic is exact).
+  composition of the SERVED scores (selection arithmetic is exact);
+- int8 wires (single-chip AND mesh-replica): scores within the measured
+  input-quantization tolerance (2e-2) of the lossless solo scorer;
+  ring-routed longs on the mesh_int8 service stay lossless (2e-4);
+- overload interleave (VERDICT r4 #7): one service with a tight
+  max_queue_depth and a wide batching window takes bursts past the bound —
+  when a burst lands inside the window (nothing completed mid-burst),
+  admitted must be ≤ the depth bound and the overflow rejected; admitted
+  requests complete with full parity and no admission slot leaks.
 
 Usage:
     python scripts/fuzz_serve_transport.py [--n 3000] [--seed 0]
@@ -49,6 +57,7 @@ CFG = ModelConfig(in_features=32, d_model=64, num_heads=4, num_layers=2,
                   dropout=0.0, max_len=4096)
 LONG_THRESHOLD = 256
 RING_GRANULE = 128 * 8
+OVERLOAD_DEPTH = 8
 
 
 def _random_request(rng):
@@ -106,6 +115,9 @@ class _Oracle:
 def _check(req, res, oracle, mism, ring: bool, lossy: bool = False):
     want_scores = oracle.scores(req["feats"])
     if ring:
+        # ring-routed requests ride the LOSSLESS wire on every flavor
+        # (int8 is a short-request optimization), so the ring tolerance
+        # applies unchanged even on the mesh_int8 service
         if not np.allclose(res.scores, want_scores, rtol=2e-4, atol=2e-4):
             mism["ring_scores"] += 1
     elif lossy:
@@ -155,35 +167,71 @@ def main():
                                     wire_mode="coalesced"),
         "int8": ScoringService(params, CFG, max_batch=8, max_delay_ms=2.0,
                                wire_dtype="int8"),
+        # round-5: int8 wire composed with mesh replica mode (per-replica
+        # on-device dequant; ring-routed longs stay lossless)
+        "mesh_int8": ScoringService(params, CFG, mesh=mesh, max_batch=16,
+                                    max_delay_ms=2.0,
+                                    long_threshold=LONG_THRESHOLD,
+                                    wire_dtype="int8"),
+        # round-5 overload interleave: a tight admission bound with a wide
+        # batching window, so bursts past the bound deterministically
+        # reject while admitted requests still complete with parity
+        "overload": ScoringService(params, CFG, max_batch=32,
+                                   max_delay_ms=250.0,
+                                   max_queue_depth=OVERLOAD_DEPTH),
     }
     # short routes bucket at 128; the mesh ring buckets at 128*8
     oracle_short = _Oracle(params, lambda n: 128)
     oracle_ring = _Oracle(params, lambda n: RING_GRANULE)
 
+    from vidsum_tpu.serve import ServiceOverloaded
+
     mism = {"scores": 0, "ring_scores": 0, "int8_scores": 0, "summary": 0,
-            "errors": 0}
+            "errors": 0, "overload_leaks": 0}
     checked = {"plain": 0, "tight": 0, "mesh": 0, "ring": 0,
-               "coalesced": 0, "int8": 0}
+               "coalesced": 0, "int8": 0, "mesh_int8": 0, "overload": 0}
+    rejected_total = 0
+    overload_bursts_verified = 0
 
     done = 0
+    names = ("plain", "tight", "mesh", "coalesced", "int8", "mesh_int8",
+             "overload")
     while done < args.n:
         burst = int(rng.integers(1, 33))
         burst = min(burst, args.n - done)
-        name = ("plain", "tight", "mesh",
-                "coalesced", "int8")[int(rng.integers(0, 5))]
+        name = names[int(rng.integers(0, len(names)))]
         svc = services[name]
+        mesh_like = name in ("mesh", "mesh_int8")
         reqs, futs = [], []
+        t_burst0 = time.monotonic()
         for _ in range(burst):
             r = _random_request(rng)
-            if name != "mesh" and r["feats"].shape[0] > LONG_THRESHOLD:
+            if not mesh_like and r["feats"].shape[0] > LONG_THRESHOLD:
                 r["feats"] = r["feats"][:LONG_THRESHOLD]
                 r["picks"] = r["picks"][:LONG_THRESHOLD]
             reqs.append(r)
-            futs.append(svc.submit(
-                r["feats"], picks=r["picks"], n_frames=r["n_frames"],
-                change_points=r["cps"], want_summary=r["want_summary"],
-                budget_ratio=r["budget"]))
+            try:
+                futs.append(svc.submit(
+                    r["feats"], picks=r["picks"], n_frames=r["n_frames"],
+                    change_points=r["cps"], want_summary=r["want_summary"],
+                    budget_ratio=r["budget"]))
+            except ServiceOverloaded:
+                if name != "overload":
+                    raise   # only the bounded service may reject
+                rejected_total += 1
+                futs.append(None)
+        t_burst = time.monotonic() - t_burst0
+        n_rej = sum(f is None for f in futs)
+        if name == "overload" and t_burst < 0.2:
+            # the whole burst landed inside the 250 ms batching window, so
+            # nothing completed mid-burst: admissions are bounded by the
+            # depth and the overflow MUST have been rejected
+            if burst - n_rej > OVERLOAD_DEPTH:
+                mism["overload_leaks"] += 1
+            overload_bursts_verified += 1
         for r, f in zip(reqs, futs):
+            if f is None:
+                continue
             try:
                 res = f.result(timeout=900)
             except Exception as e:  # noqa: BLE001 — a fuzz failure is data
@@ -191,12 +239,13 @@ def main():
                       file=sys.stderr)
                 mism["errors"] += 1
                 continue
-            ring = (name == "mesh"
-                    and r["feats"].shape[0] > LONG_THRESHOLD)
+            ring = (mesh_like and r["feats"].shape[0] > LONG_THRESHOLD)
             _check(r, res, oracle_ring if ring else oracle_short, mism,
-                   ring, lossy=(name == "int8"))
+                   ring, lossy=(name in ("int8", "mesh_int8") and not ring))
             checked[name] += 1
             checked["ring"] += int(ring)
+        if name == "overload" and svc._inflight != 0:
+            mism["overload_leaks"] += 1   # admission slot leaked
         done += burst
         if done % 500 < burst:
             print(f"... {done}/{args.n} ({time.time() - t0:.0f}s)",
@@ -205,6 +254,8 @@ def main():
     for svc in services.values():
         svc.close()
     print(json.dumps({"checked": checked, "mismatches": mism,
+                      "rejected": rejected_total,
+                      "overload_bursts_verified": overload_bursts_verified,
                       "seconds": round(time.time() - t0, 1),
                       "seed": args.seed}))
     return 1 if any(mism.values()) else 0

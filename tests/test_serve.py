@@ -755,14 +755,83 @@ def test_int8_wire_summary_roundtrip(params):
     assert 0 < r.summary.sum() <= int(0.15 * 200) + 1
 
 
-def test_int8_wire_rejects_mesh(params):
-    devs = jax.devices()
-    if len(devs) < 2:
-        pytest.skip("needs >1 device")
-    from jax.sharding import Mesh
-    mesh = Mesh(np.asarray(devs[:2]), ("data",))
-    with pytest.raises(ValueError, match="int8.*single-chip"):
-        ScoringService(params, CFG, mesh=mesh, wire_dtype="int8")
+def test_int8_wire_mesh_matches_single_chip_int8(params):
+    """The int8 wire composes with mesh replica mode (VERDICT r4 #5): rows
+    commit quantized to their replica and dequantize per-replica on device.
+    The replica shard_map runs the identical local scorer, so mesh-int8
+    scores must BIT-match the host-dequantized solo forward (the transport
+    adds no error beyond the quantizer itself) and sit within the wire's
+    measured tolerance of the lossless scorer."""
+    from vidsum_tpu.serve.transport import quantize_frames
+
+    rng = np.random.default_rng(30)
+    lengths = [37, 100, 128, 250, 256, 300, 64, 90, 200]
+    videos = [_video(rng, n) for n in lengths]
+    fwd = make_eval_forward(CFG, attn_impl="xla")
+    with ScoringService(params, CFG, mesh=_mesh8(), max_batch=16,
+                        max_delay_ms=200.0, wire_dtype="int8") as svc:
+        assert svc._wire_dtype == np.dtype(np.int8)
+        futs = [svc.submit(v, want_summary=False) for v in videos]
+        results = [f.result(timeout=300) for f in futs]
+        st = svc.stats()
+    assert st.completed == len(videos) and st.failed == 0
+    for v, r in zip(videos, results):
+        n = v.shape[0]
+        nb = bucket_length(n, 128)
+        row = np.full((nb, CFG.in_features), 1000.0, np.float32)
+        row[:n] = v
+        q, scale = quantize_frames(row)
+        deq = q.astype(np.float32) * scale[:, None]
+        mask = np.ones((1, nb), bool)
+        mask[0, :n] = False
+        want = np.asarray(fwd(params, jnp.asarray(deq[None]),
+                              jnp.asarray(mask)))[0, :n]
+        np.testing.assert_allclose(r.scores, want, rtol=1e-6, atol=1e-7)
+        # and within the int8 wire's tolerance of the lossless scorer
+        exact = _solo_scores(params, v)
+        assert float(np.max(np.abs(r.scores - exact))) < 2e-2
+
+
+def test_int8_wire_mesh_rebalance_and_long_route(params):
+    """Mesh-int8 edge paths: a skewed burst exercises the (q, scale)
+    straggler re-commit, and an over-threshold request still takes the
+    ring on the LOSSLESS wire (int8 is a short-request optimization)."""
+    cfg = ModelConfig(in_features=32, d_model=64, num_heads=4, num_layers=2,
+                      dropout=0.0, max_len=2048)
+    prm = init_simnet(jax.random.PRNGKey(31), cfg)
+    rng = np.random.default_rng(32)
+    shorts = [_v for _v in (rng.normal(size=(n, 32)).astype(np.float32)
+                            for n in (64, 200, 70, 220, 90))]
+    long_feats = rng.normal(size=(700, 32)).astype(np.float32)
+    with ScoringService(prm, cfg, mesh=_mesh8(), max_batch=16,
+                        max_delay_ms=200.0, wire_dtype="int8",
+                        long_threshold=256) as svc:
+        futs = [svc.submit(v, want_summary=False) for v in shorts]
+        f_long = svc.submit(long_feats, want_summary=False)
+        results = [f.result(timeout=300) for f in futs]
+        r_long = f_long.result(timeout=600)
+        st = svc.stats()
+    assert st.failed == 0 and st.long_requests == 1
+    fwd = make_eval_forward(cfg, attn_impl="xla")
+    for v, r in zip(shorts, results):
+        n = v.shape[0]
+        nb = bucket_length(n, 128)
+        x = np.full((1, nb, 32), 1000.0, np.float32)
+        mask = np.ones((1, nb), bool)
+        x[0, :n] = v
+        mask[0, :n] = False
+        solo = np.asarray(fwd(prm, jnp.asarray(x), jnp.asarray(mask)))[0, :n]
+        assert float(np.max(np.abs(r.scores - solo))) < 2e-2
+    # the ring rode the lossless wire: 2e-4 ring tolerance, not 1e-2 int8
+    nb = 1024
+    x = np.full((1, nb, 32), 1000.0, np.float32)
+    mask = np.ones((1, nb), bool)
+    x[0, :700] = long_feats
+    mask[0, :700] = False
+    from vidsum_tpu.models import simnet_apply
+    scores, _ = simnet_apply(prm, cfg, jnp.asarray(x), jnp.asarray(mask))
+    want = np.asarray(jax.nn.sigmoid(scores[0, :700, 0]), np.float32)
+    np.testing.assert_allclose(r_long.scores, want, rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("dtype", ["auto", "int8"])

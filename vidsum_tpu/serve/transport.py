@@ -18,7 +18,10 @@ three transports, all feeding the SAME compiled scorer programs:
   with an f32 per-frame scale riding along, dequantized on device — half
   the bytes of bf16 again (~2× relay req/s, PERF.md "int8 wire"). Scores
   shift by the input-quantization error (~1e-2 class); accuracy cost
-  quantified in PERF.md "End-task accuracy cost".
+  quantified in PERF.md "End-task accuracy cost". Composes with mesh
+  replica mode (rows commit quantized to their replica and dequantize
+  per-replica on device, ``serve/mesh.py make_replica_forward_int8``);
+  ring-routed long requests stay on the lossless wire.
 
 This module owns the *bytes*: wire validation, row construction, the
 quantizer, and the single-chip batch scoring paths. Device *placement*
@@ -77,11 +80,6 @@ def resolve_wire(cfg: ModelConfig, wire_dtype: str, wire_mode: str,
             "transports commit rows to their replica / seq shards at "
             "submit time); use wire_mode='rows'")
     int8 = wire_dtype == "int8"
-    if int8 and mesh_active:
-        raise ValueError(
-            "wire_dtype='int8' is single-chip only (the replica/"
-            "ring transports ship raw rows); drop mesh= or use "
-            "wire_dtype='auto'")
     fwd_i8 = None
     if int8:
         @jax.jit
