@@ -11,6 +11,7 @@ transfer overlaps earlier batches' compute)."""
 
 from __future__ import annotations
 
+import logging
 import time
 from concurrent.futures import InvalidStateError
 
@@ -18,6 +19,60 @@ from vidsum_tpu.serve.types import (
     DeadlineExceeded, RequestTooLong, ServeResult, ServiceOverloaded,
     _Request,
 )
+
+logger = logging.getLogger(__name__)
+
+_RSS_CACHE = {"t": 0.0, "mb": 0.0}
+_RSS_MAX_AGE_S = 0.5
+_last_watermark_log = [0.0]
+
+
+def process_rss_mb(max_age_s: float = _RSS_MAX_AGE_S) -> float:
+    """This process's resident set size in MB, cached for ``max_age_s`` so
+    per-submit watermark checks don't re-read /proc on every request."""
+    now = time.monotonic()
+    if now - _RSS_CACHE["t"] > max_age_s:
+        mb = 0.0
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        mb = int(line.split()[1]) / 1024.0
+                        break
+        except OSError:
+            pass
+        _RSS_CACHE["t"] = now
+        _RSS_CACHE["mb"] = mb
+    return _RSS_CACHE["mb"]
+
+
+def _check_rss_watermark(svc) -> None:
+    """Shed load when host RSS is past the operator watermark: the axon
+    relay client leaks ~0.9 MB per request on tunnel-attached topologies
+    (PERF.md "Endurance" — bisected to H2D payload retention), so an
+    unprotected service OOMs the host under sustained load. Rejecting with
+    503 keeps the process alive for its load balancer to drain; pair with
+    worker recycling (cli/serve.py ``--recycle_after_mb``) for the full
+    mitigation."""
+    if svc.rss_watermark_mb is None:
+        return
+    rss = process_rss_mb()
+    if rss <= svc.rss_watermark_mb:
+        return
+    with svc._lock:
+        svc._stats["rejected"] += 1
+    now = time.monotonic()
+    if now - _last_watermark_log[0] > 10.0:   # loud but not per-request
+        _last_watermark_log[0] = now
+        logger.warning(
+            "host RSS %.0f MB exceeds rss_watermark_mb=%.0f — shedding "
+            "load (known axon-relay H2D retention leak; recycle the "
+            "worker, see cli.serve --recycle_after_mb)", rss,
+            svc.rss_watermark_mb)
+    raise ServiceOverloaded(
+        f"host RSS {rss:.0f} MB exceeds rss_watermark_mb="
+        f"{svc.rss_watermark_mb:.0f}; load shed until the worker is "
+        f"recycled or RSS falls")
 
 
 def admit(svc, n: int, long: bool) -> None:
@@ -38,6 +93,7 @@ def admit(svc, n: int, long: bool) -> None:
             f"service carries at most {cap}"
             + ("" if svc.max_request_len is None
                else f" (max_request_len={svc.max_request_len})"))
+    _check_rss_watermark(svc)
     with svc._lock:
         if svc._closed:
             raise RuntimeError("service is closed")

@@ -72,6 +72,11 @@ class ScoringService:
     :param max_request_len: optional operator cap on feature rows per
         request, checked at submit time on top of the automatic kernel-
         envelope caps. ``None`` = envelope caps only.
+    :param rss_watermark_mb: optional host-RSS shed threshold: past it,
+        ``submit()`` rejects with :class:`ServiceOverloaded` and logs
+        loudly (rate-limited). Protection against the measured axon-relay
+        per-request host leak (PERF.md "Endurance"); pair with worker
+        recycling (``cli.serve --recycle_after_mb``) for full mitigation.
     """
 
     def __init__(self, params, cfg: ModelConfig, *,
@@ -85,6 +90,7 @@ class ScoringService:
                  latency_window: int = 4096,
                  max_queue_depth: int = 256,
                  max_request_len: Optional[int] = None,
+                 rss_watermark_mb: Optional[float] = None,
                  mesh=None, long_threshold: Optional[int] = None) -> None:
         import jax
 
@@ -130,6 +136,8 @@ class ScoringService:
         self.max_queue_depth = int(max_queue_depth)
         self.max_request_len = (None if max_request_len is None
                                 else int(max_request_len))
+        self.rss_watermark_mb = (None if rss_watermark_mb is None
+                                 else float(rss_watermark_mb))
         # submit-time length caps, from the same envelope arithmetic the
         # kernel dispatch uses (flash_forward_supported): a request no
         # compiled path can carry is rejected up front instead of failing

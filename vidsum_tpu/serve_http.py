@@ -150,23 +150,46 @@ class SummarizationHTTPServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, addr, service: ScoringService, verbose: bool = False,
-                 max_body_bytes: int = 256 * 1024 * 1024):
+                 max_body_bytes: int = 256 * 1024 * 1024,
+                 bound_socket=None, daemon_threads: bool = True):
         self.service = service
         self.verbose = verbose
         self.max_body_bytes = int(max_body_bytes)
-        super().__init__(addr, _Handler)
+        # instance attr shadows the class default: supervised workers set
+        # daemon_threads=False so server_close() JOINS in-flight handler
+        # threads — a drain-for-recycle finishes every accepted request
+        # before the process exits (cli/serve.py --recycle_after_*)
+        self.daemon_threads = bool(daemon_threads)
+        if bound_socket is None:
+            super().__init__(addr, _Handler)
+        else:
+            # adopt a pre-bound listening socket (inherited from the
+            # supervisor): the supervisor keeps the fd open across worker
+            # generations, so connections queue in the TCP backlog during
+            # a recycle instead of being refused
+            super().__init__(addr, _Handler, bind_and_activate=False)
+            self.socket.close()
+            self.socket = bound_socket
+            self.server_address = bound_socket.getsockname()
+            self.server_activate()
 
 
 def make_server(service: ScoringService, host: str = "127.0.0.1",
                 port: int = 0,
-                max_body_bytes: int = 256 * 1024 * 1024
+                max_body_bytes: int = 256 * 1024 * 1024,
+                bound_socket=None, daemon_threads: bool = True
                 ) -> SummarizationHTTPServer:
     """Bind (port 0 = ephemeral; read ``server.server_address``). Call
     ``serve_forever()`` or drive it from a thread (tests do the latter).
     ``max_body_bytes`` caps ``POST /summarize`` payloads (413 past it; the
-    256 MiB default comfortably fits a 160k-row float32 flagship payload)."""
+    256 MiB default comfortably fits a 160k-row float32 flagship payload).
+    ``bound_socket`` adopts an existing listening socket instead of
+    binding (supervised-worker mode); ``daemon_threads=False`` makes
+    ``server_close()`` join in-flight handlers (graceful drain)."""
     return SummarizationHTTPServer((host, port), service,
-                                   max_body_bytes=max_body_bytes)
+                                   max_body_bytes=max_body_bytes,
+                                   bound_socket=bound_socket,
+                                   daemon_threads=daemon_threads)
 
 
 def run_in_thread(server: SummarizationHTTPServer) -> threading.Thread:
