@@ -18,9 +18,9 @@ feature flavors, same fixed-KTS composition through the host
 the wire study measured 99.8% bit-identical summaries; full compute
 quantization is strictly lossier and this measures by how much.
 
-Caveat (same as the wire study): random-init weights — no trained
-checkpoint can exist in this sandbox; the number to re-measure on real
-checkpoints is the identical-summary rate near knapsack ties.
+Weights: random inits by default; ``--ckpt`` loads a trained scorer
+(soak-minted) — the trained-weights identical-summary rate near knapsack
+ties is the number that counts (VERDICT r4 #1).
 
 Run (CPU, ~15 min):  python scripts/study_int8_compute_accuracy.py --n 2000
 Record: PERF.md "int8 scoring" / PARITY.md.
@@ -70,18 +70,28 @@ def main():
     ap.add_argument("--d_model", type=int, default=256,
                     help="256 = flagship; 512 = the shape where the int8 "
                          "kernel wins on chip (PERF.md 'int8 scoring')")
+    ap.add_argument("--ckpt", default=None,
+                    help="trained scorer checkpoint (msgpack): replaces "
+                         "the random param seeds — the trained-weights "
+                         "re-measurement (VERDICT r4 #1). Width must match "
+                         "--d_model (soak_protocol.py --d_model mints it)")
     args = ap.parse_args()
     CFG = ModelConfig(dropout=0.0, d_model=args.d_model)
 
     fwd32 = make_eval_forward(CFG, attn_impl="xla")
     fwd8 = make_eval_forward(CFG, attn_impl="int8_xla")
+    if args.ckpt:
+        from study_int8_wire_accuracy import load_params
+        param_sets = [load_params(args.ckpt, CFG)]
+    else:
+        param_sets = [init_simnet(jax.random.PRNGKey(100 + ps), CFG)
+                      for ps in range(args.param_seeds)]
     rng = np.random.default_rng(args.seed)
     out = {}
     for flavor in ("normal", "pool5like"):
         stats = dict(n=0, identical=0, f1s=[], dmax=[])
-        for ps in range(args.param_seeds):
-            params = init_simnet(jax.random.PRNGKey(100 + ps), CFG)
-            for _ in range(args.n // (2 * args.param_seeds)):
+        for params in param_sets:
+            for _ in range(args.n // (2 * len(param_sets))):
                 feats, picks, n_frames, cps = random_video(rng, flavor)
                 n = feats.shape[0]
                 nb = bucket_length(n, BUCKET)
@@ -120,8 +130,9 @@ def main():
         )
     print(json.dumps(dict(config=f"1024x{args.d_model}x4L-int8compute",
                           wire_too=bool(args.int8_wire_too),
+                          weights=(args.ckpt or "random-init"),
                           budget=args.budget, seed=args.seed,
-                          param_seeds=args.param_seeds, **out)))
+                          param_seeds=len(param_sets), **out)))
 
 
 if __name__ == "__main__":
