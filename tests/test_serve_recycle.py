@@ -73,6 +73,11 @@ def test_http_server_adopts_prebound_socket(params):
     with ScoringService(params, CFG, max_delay_ms=0.0) as svc:
         server = make_server(svc, bound_socket=sock, daemon_threads=False)
         assert server.server_address == (host, port)
+        # server_activate() re-listens on the adopted socket with
+        # request_queue_size: socketserver's default of 5 would SHRINK the
+        # supervisor's deep backlog and drop handoff-window SYNs (measured
+        # as ~130 s ETIMEDOUTs in the first recycle endurance run)
+        assert server.request_queue_size >= 64
         run_in_thread(server)
         try:
             buf = io.BytesIO()

@@ -79,9 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wire_dtype", default="auto",
                    choices=["auto", "float32", "bfloat16", "int8"],
                    help="host->device feature wire. 'auto' (lossless) "
-                        "matches compute_dtype; 'int8' (LOSSY, single-chip) "
-                        "halves the bytes again via per-frame quantization "
-                        "for wire-bound topologies")
+                        "matches compute_dtype; 'int8' (LOSSY) halves the "
+                        "bytes again via per-frame quantization for "
+                        "wire-bound topologies (composes with --devices>1: "
+                        "replica batches dequantize per-replica on device; "
+                        "ring-routed long requests stay lossless)")
     p.add_argument("--wire_mode", default="rows",
                    choices=["rows", "coalesced"],
                    help="'rows': async per-request transfers (best when "

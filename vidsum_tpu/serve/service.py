@@ -169,11 +169,7 @@ class ScoringService:
             name="vidsum-dispatch")
         self._dispatcher.start()
 
-    @staticmethod
-    def _zero_stats() -> dict:
-        return dict(requests=0, completed=0, failed=0, rejected=0,
-                    expired=0, batches=0, rows_scored=0, rows_padded=0,
-                    rows_moved=0, long_requests=0)
+    _zero_stats = staticmethod(ServeStats.zero_raw)
 
     # ------------------------------------------------------------------ API
 
@@ -340,17 +336,10 @@ class ScoringService:
 
     def stats(self) -> ServeStats:
         with self._lock:
-            lat = np.asarray(self._latencies, dtype=np.float64)
             s = dict(self._stats)
             hist = dict(self._batch_hist)
-
-        def q(p):
-            return float(np.quantile(lat, p)) if lat.size else 0.0
-
-        return ServeStats(batch_hist=hist,
-                          latency_mean_s=float(lat.mean()) if lat.size else 0.0,
-                          latency_p50_s=q(0.50), latency_p95_s=q(0.95),
-                          latency_p99_s=q(0.99), **s)
+            lat = tuple(self._latencies)
+        return ServeStats.from_raw(s, hist, lat)
 
     def close(self, timeout: Optional[float] = None) -> None:
         """Drain the queue, stop the dispatcher, finish pending selection.

@@ -67,6 +67,29 @@ class ServeStats:
     latency_p95_s: float
     latency_p99_s: float
 
+    @staticmethod
+    def zero_raw() -> dict:
+        """A fresh mutable counter dict (the service's under-lock record;
+        the dataclass above is its immutable aggregated snapshot)."""
+        return dict(requests=0, completed=0, failed=0, rejected=0,
+                    expired=0, batches=0, rows_scored=0, rows_padded=0,
+                    rows_moved=0, long_requests=0)
+
+    @classmethod
+    def from_raw(cls, stats: dict, batch_hist: Dict[int, int],
+                 latencies) -> "ServeStats":
+        """Aggregate the service's raw counters + latency window into a
+        snapshot (quantiles computed here, outside the service lock)."""
+        lat = np.asarray(latencies, dtype=np.float64)
+
+        def q(p):
+            return float(np.quantile(lat, p)) if lat.size else 0.0
+
+        return cls(batch_hist=dict(batch_hist),
+                   latency_mean_s=float(lat.mean()) if lat.size else 0.0,
+                   latency_p50_s=q(0.50), latency_p95_s=q(0.95),
+                   latency_p99_s=q(0.99), **stats)
+
 
 @dataclasses.dataclass
 class _Request:

@@ -148,6 +148,13 @@ class _Handler(BaseHTTPRequestHandler):
 
 class SummarizationHTTPServer(ThreadingHTTPServer):
     daemon_threads = True
+    # socketserver defaults to listen(5); server_activate() re-listens on
+    # the adopted supervisor socket, so a small value here would SHRINK the
+    # supervisor's deep backlog and drop SYNs during a recycle handoff
+    # (clients then burn ~130 s of retries into ETIMEDOUT — observed as
+    # 2/recycle at concurrency 8 in the first endurance run). Keep it at
+    # least as deep as the supervisor's listen(128).
+    request_queue_size = 128
 
     def __init__(self, addr, service: ScoringService, verbose: bool = False,
                  max_body_bytes: int = 256 * 1024 * 1024,
