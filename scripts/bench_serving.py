@@ -37,6 +37,11 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def probe_relay_ms(reps: int = 5) -> float:
     import jax

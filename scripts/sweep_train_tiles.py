@@ -14,6 +14,11 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 B, N, K = 32, 512, 30
 TILES = (128, 256, 512)
 
